@@ -1,0 +1,419 @@
+"""The forward radiative-transfer model: T profile -> spectral fluxes.
+
+Composes the ops modules into the per-iteration flux pipeline of the
+reference's radiation loop (source/computation.py:856-888): temperature
+interpolation -> Planck lookup -> opacity interpolation -> transmission
+cell quantities -> altitude -> direct beam -> flux solve -> integration.
+The whole pipeline is one jit-compiled function; there are no host
+round-trips (the reference's delta_z/z_lay host detour,
+computation.py:875-878, is device-side here).
+
+Static physics scalars live in :class:`Phys` (hashable, passed statically so
+XLA constant-folds them); device arrays live in :class:`ModelArrays`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helios_tpu import constants as pc
+from helios_tpu import grid as grid_mod
+from helios_tpu import planck as planck_mod
+from helios_tpu.config import HeliosConfig
+from helios_tpu.io.opacity import OpacityTable, gauss_legendre_ypoints
+from helios_tpu.ops import beam as beam_ops
+from helios_tpu.ops import integrate as int_ops
+from helios_tpu.ops import interp as interp_ops
+from helios_tpu.ops import sweep as sweep_ops
+from helios_tpu.ops import thomas as thomas_ops
+from helios_tpu.ops import twostream as ts_ops
+
+
+@dataclass(frozen=True)
+class Phys:
+    """Static (compile-time) physics configuration."""
+    nlayer: int
+    nbin: int
+    ny: int
+    iso: int
+    scat: int
+    scat_corr: int
+    clouds: int
+    dir_beam: int
+    geom_zenith_corr: int
+    singlewalk: int
+    real_star: int
+    energy_correction: int
+    flux_calc_method: str          # "iteration" | "matrix"
+    planet_type: str               # "gas" | "rocky" | "no_atmosphere"
+    debug: int
+    g: float
+    R_planet: float
+    R_star: float
+    a: float
+    T_star: float
+    T_intern: float
+    F_intern: float
+    mu_star: float
+    f_factor: float
+    epsi: float
+    epsi2: float
+    g_0: float
+    w_0_limit: float
+    w_0_scat_limit: float
+    delta_tau_limit: float
+    i2s_transition: float
+    plancktable_dim: int
+    plancktable_step: int
+    smooth: int
+    adapt_interval: int
+    foreplay: int
+    physical_tstep: float
+    convection: int
+    no_atmo: int
+    dtype: str
+
+    @property
+    def ninterface(self) -> int:
+        return self.nlayer + 1
+
+    @property
+    def n_sweep_passes(self) -> int:
+        """3*scat+1 during iteration, 1000*scat+1 in post-processing
+        (reference computation.py:531-537)."""
+        nscat_step = 1000 if self.singlewalk else 3
+        return nscat_step * self.scat + 1
+
+    @classmethod
+    def from_config(cls, cfg: HeliosConfig, nbin: int, ny: int) -> "Phys":
+        assert cfg._finalized, "call cfg.finalize() first"
+        return cls(
+            nlayer=int(cfg.nlayer), nbin=nbin, ny=ny, iso=int(cfg.iso),
+            scat=int(cfg.scat), scat_corr=int(cfg.scat_corr),
+            clouds=int(cfg.clouds), dir_beam=int(cfg.dir_beam),
+            geom_zenith_corr=int(cfg.geom_zenith_corr),
+            singlewalk=int(cfg.singlewalk), real_star=int(cfg.real_star),
+            energy_correction=int(cfg.energy_correction),
+            flux_calc_method=cfg.flux_calc_method,
+            planet_type=cfg.planet_type, debug=int(cfg.debug),
+            g=float(cfg.g), R_planet=float(cfg.R_planet),
+            R_star=float(cfg.R_star), a=float(cfg.a),
+            T_star=float(cfg.T_star), T_intern=float(cfg.T_intern),
+            F_intern=float(cfg.F_intern), mu_star=float(cfg.mu_star),
+            f_factor=float(cfg.f_factor), epsi=float(cfg.epsi),
+            epsi2=float(cfg.epsi2), g_0=float(cfg.g_0),
+            w_0_limit=float(cfg.w_0_limit),
+            w_0_scat_limit=float(cfg.w_0_scat_limit),
+            delta_tau_limit=float(cfg.delta_tau_limit),
+            i2s_transition=float(cfg.i2s_transition),
+            plancktable_dim=int(cfg.plancktable_dim),
+            plancktable_step=int(cfg.plancktable_step),
+            smooth=int(cfg.smooth), adapt_interval=int(cfg.adapt_interval),
+            foreplay=int(cfg.foreplay),
+            physical_tstep=float(cfg.physical_tstep),
+            convection=int(cfg.convection), no_atmo=int(cfg.no_atmo),
+            dtype=cfg.dtype)
+
+
+class ModelArrays(NamedTuple):
+    """Device-resident static inputs of the forward model."""
+    # vertical grid
+    p_lay: jnp.ndarray
+    p_int: jnp.ndarray
+    delta_colmass: jnp.ndarray
+    delta_col_upper: jnp.ndarray
+    delta_col_lower: jnp.ndarray
+    # opacity table
+    ktable: jnp.ndarray            # [ntemp, npress, B, Y]
+    scat_cross_table: jnp.ndarray  # [ntemp, npress, B]
+    meanmolmass_table: jnp.ndarray  # [ntemp, npress]
+    ktemps: jnp.ndarray
+    kpress: jnp.ndarray
+    # spectral grid
+    lambda_centers: jnp.ndarray
+    lambda_edges: jnp.ndarray
+    delta_lambda: jnp.ndarray
+    gauss_y: jnp.ndarray
+    gauss_weight: jnp.ndarray
+    # radiation inputs
+    planck_grid: jnp.ndarray       # [dim+1, B]
+    starflux: jnp.ndarray          # [B]
+    surf_albedo: jnp.ndarray       # [B]
+    # clouds (zeros if inactive)
+    cloud_abs_cross_lay: jnp.ndarray   # [L, B]
+    cloud_scat_cross_lay: jnp.ndarray  # [L, B]
+    g_0_cloud_lay: jnp.ndarray         # [L, B]
+    cloud_abs_cross_int: jnp.ndarray   # [L+1, B]
+    cloud_scat_cross_int: jnp.ndarray  # [L+1, B]
+    g_0_cloud_int: jnp.ndarray         # [L+1, B]
+    # additional heating (zeros if inactive)
+    F_add_heat_lay: jnp.ndarray        # [L]
+    F_add_heat_sum: jnp.ndarray        # [L]
+
+
+class FluxState(NamedTuple):
+    """Fluxes carried across RCE iterations (the reference's persistent
+    device arrays)."""
+    F_down: jnp.ndarray   # [I, B, Y]
+    F_up: jnp.ndarray     # [I, B, Y]
+    Fc_down: jnp.ndarray  # [L, B, Y] (noniso only; zeros otherwise)
+    Fc_up: jnp.ndarray    # [L, B, Y]
+
+
+class CellCache(NamedTuple):
+    """Per-cell quantities refreshed every 10th iteration
+    (reference computation.py:860-879)."""
+    cells_or_upper: ts_ops.CellQuantities
+    lower: ts_ops.CellQuantities      # == upper placeholder when iso
+    scat_trigger: jnp.ndarray         # [B, Y] bool
+    F_dir: jnp.ndarray                # [I, B, Y]
+    Fc_dir: jnp.ndarray               # [L, B, Y]
+    meanmolmass_lay: jnp.ndarray      # [L]
+    z_lay: jnp.ndarray                # [L]
+    opac_lay: jnp.ndarray             # [L, B, Y] (diagnostics/mean opac)
+    scat_cross_lay: jnp.ndarray       # [L, B]
+
+
+def init_flux_state(phys: Phys, dtype) -> FluxState:
+    L, B, Y = phys.nlayer, phys.nbin, phys.ny
+    return FluxState(
+        F_down=jnp.zeros((L + 1, B, Y), dtype),
+        F_up=jnp.zeros((L + 1, B, Y), dtype),
+        Fc_down=jnp.zeros((L, B, Y), dtype),
+        Fc_up=jnp.zeros((L, B, Y), dtype))
+
+
+def build_model(cfg: HeliosConfig, table: OpacityTable,
+                starflux: Optional[np.ndarray] = None,
+                surf_albedo: Optional[np.ndarray] = None,
+                ) -> Tuple[Phys, ModelArrays]:
+    """Assemble (Phys, ModelArrays) from config + opacity table."""
+    phys = Phys.from_config(cfg, nbin=table.nbin, ny=table.ny)
+    dt = jnp.dtype(cfg.dtype)
+
+    g = grid_mod.build_grid(cfg.p_boa, cfg.p_toa, cfg.nlayer, cfg.g,
+                            dtype=cfg.np_dtype)
+
+    _, gauss_w = gauss_legendre_ypoints(table.ny)
+
+    planck_grid = planck_mod.build_planck_table(
+        table.wave_edges, table.delta_wave, phys.T_star,
+        dim=phys.plancktable_dim, step=phys.plancktable_step, dtype=dt)
+
+    if starflux is None:
+        starflux = np.zeros(table.nbin, cfg.np_dtype)
+    starflux = jnp.asarray(starflux, dt)
+
+    if phys.energy_correction:
+        planck_grid, starflux, _corr = planck_mod.correct_incident_energy(
+            planck_grid, starflux, jnp.asarray(table.delta_wave, dt),
+            real_star=phys.real_star, T_star=phys.T_star,
+            dim=phys.plancktable_dim)
+
+    if surf_albedo is None:
+        alb = cfg.surf_albedo if not isinstance(cfg.surf_albedo, str) else 0.0
+        surf_albedo = np.full(table.nbin, alb, cfg.np_dtype)
+
+    L, B = phys.nlayer, phys.nbin
+    zeros_lb = jnp.zeros((L, B), dt)
+    zeros_ib = jnp.zeros((L + 1, B), dt)
+    zeros_l = jnp.zeros((L,), dt)
+
+    kpoints = table.kpoints
+    if phys.no_atmo:
+        kpoints = np.full_like(kpoints, 1e-30)  # read.py:1014-1023
+
+    arrays = ModelArrays(
+        p_lay=jnp.asarray(g.p_lay, dt),
+        p_int=jnp.asarray(g.p_int, dt),
+        delta_colmass=jnp.asarray(g.delta_colmass, dt),
+        delta_col_upper=jnp.asarray(g.delta_col_upper, dt),
+        delta_col_lower=jnp.asarray(g.delta_col_lower, dt),
+        ktable=jnp.asarray(kpoints, dt),
+        scat_cross_table=jnp.asarray(table.scat_cross, dt),
+        meanmolmass_table=jnp.asarray(table.meanmolmass, dt),
+        ktemps=jnp.asarray(table.temperatures, dt),
+        kpress=jnp.asarray(table.pressures, dt),
+        lambda_centers=jnp.asarray(table.wave_centers, dt),
+        lambda_edges=jnp.asarray(table.wave_edges, dt),
+        delta_lambda=jnp.asarray(table.delta_wave, dt),
+        gauss_y=jnp.asarray(table.gauss_y, dt),
+        gauss_weight=jnp.asarray(gauss_w, dt),
+        planck_grid=planck_grid.astype(dt),
+        starflux=starflux,
+        surf_albedo=jnp.asarray(surf_albedo, dt),
+        cloud_abs_cross_lay=zeros_lb, cloud_scat_cross_lay=zeros_lb,
+        g_0_cloud_lay=zeros_lb,
+        cloud_abs_cross_int=zeros_ib, cloud_scat_cross_int=zeros_ib,
+        g_0_cloud_int=zeros_ib,
+        F_add_heat_lay=zeros_l, F_add_heat_sum=zeros_l)
+    return phys, arrays
+
+
+# --------------------------------------------------------------------------- #
+# altitude (device-side; reference does this on host, host_functions.py:673-698)
+# --------------------------------------------------------------------------- #
+
+def altitude_z(phys: Phys, m: ModelArrays, T_lay, meanmolmass_lay):
+    """Layer thickness and center altitudes.
+
+    delta_z = k_B T/(mu g) ln(p_i/p_{i+1}) (calc_delta_z, kernels.cu:1247-1261)
+    then integrated with the gas-planet 10-bar anchor or the surface anchor
+    (host_functions.py:673-698).
+    """
+    L = phys.nlayer
+    delta_z = (pc.K_B * T_lay[:L] / (meanmolmass_lay * phys.g)
+               * jnp.log(m.p_int[:L] / m.p_int[1:]))
+    # cumulative midpoint sums: s[0] = 0, s[i] = s[i-1] + (dz[i-1]+dz[i])/2
+    mid = 0.5 * (delta_z[:-1] + delta_z[1:])
+    s = jnp.concatenate([jnp.zeros((1,), delta_z.dtype), jnp.cumsum(mid)])
+    if phys.planet_type == "gas":
+        mask = m.p_lay >= 1e7
+        idx = jnp.where(mask, jnp.arange(L), -1).max()
+        anchor = jnp.where(idx >= 0, s[jnp.maximum(idx, 0)], s[0])
+        z_lay = s - anchor
+    else:
+        z_lay = s + 0.5 * delta_z[0]
+    return delta_z, z_lay
+
+
+# --------------------------------------------------------------------------- #
+# per-cell quantities refresh (every 10th iteration in the reference)
+# --------------------------------------------------------------------------- #
+
+def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int) -> CellCache:
+    """Opacity interpolation + transmission + direct beam: the block the
+    reference refreshes every 10th iteration (computation.py:860-879)."""
+    L = phys.nlayer
+
+    opac_lay, scat_lay = interp_ops.interpolate_opacity(
+        m.ktable, m.scat_cross_table, m.ktemps, m.kpress, T_lay[:L], m.p_lay)
+    mmm_lay = interp_ops.interpolate_meanmolmass(
+        m.meanmolmass_table, m.ktemps, m.kpress, T_lay[:L], m.p_lay)
+
+    if phys.clouds:
+        g0_lay = ts_ops.g0_total(scat_lay, m.g_0_cloud_lay,
+                                 m.cloud_scat_cross_lay, phys.g_0)
+    else:
+        g0_lay = jnp.zeros_like(scat_lay)
+
+    delta_z, z_lay = altitude_z(phys, m, T_lay, mmm_lay)
+
+    kw = dict(g_0=phys.g_0, epsi=phys.epsi, epsi2=phys.epsi2,
+              mu_star=phys.mu_star, w_0_limit=phys.w_0_limit,
+              w_0_scat_limit=phys.w_0_scat_limit, scat=phys.scat,
+              clouds=phys.clouds, scat_corr=phys.scat_corr,
+              i2s_transition=phys.i2s_transition)
+
+    planckband_lay = planck_mod.planckband_layers(
+        m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
+        dim=phys.plancktable_dim, step=phys.plancktable_step)
+
+    if phys.iso:
+        cells, scat_trigger = ts_ops.calc_trans_iso(
+            opac_lay, mmm_lay, scat_lay, m.cloud_abs_cross_lay,
+            m.cloud_scat_cross_lay, m.delta_colmass, g0_lay, **kw)
+        # reference attenuates the direct beam through the gas-only optical
+        # depth (delta_tau_wg, kernels.cu:1306) -- clouds excluded
+        F_dir = beam_ops.fdir_iso(
+            planckband_lay, cells.delta_tau, z_lay,
+            mu_star=phys.mu_star, R_planet=phys.R_planet,
+            R_star=phys.R_star, a=phys.a, dir_beam=phys.dir_beam,
+            geom_zenith_corr=phys.geom_zenith_corr)
+        Fc_dir = jnp.zeros((L,) + F_dir.shape[1:], F_dir.dtype)
+        lower = cells
+    else:
+        opac_int, scat_int = interp_ops.interpolate_opacity(
+            m.ktable, m.scat_cross_table, m.ktemps, m.kpress, T_int, m.p_int)
+        mmm_int = interp_ops.interpolate_meanmolmass(
+            m.meanmolmass_table, m.ktemps, m.kpress, T_int, m.p_int)
+        if phys.clouds:
+            g0_int = ts_ops.g0_total(scat_int, m.g_0_cloud_int,
+                                     m.cloud_scat_cross_int, phys.g_0)
+        else:
+            g0_int = jnp.zeros_like(scat_int)
+        upper, lower, scat_trigger = ts_ops.calc_trans_noniso(
+            opac_lay, opac_int, mmm_lay, mmm_int, scat_lay, scat_int,
+            m.cloud_abs_cross_lay, m.cloud_abs_cross_int,
+            m.cloud_scat_cross_lay, m.cloud_scat_cross_int,
+            m.delta_col_upper, m.delta_col_lower, g0_lay, g0_int, **kw)
+        # gas-only optical depth for the direct beam (kernels.cu:1355-1359)
+        F_dir, Fc_dir = beam_ops.fdir_noniso(
+            planckband_lay, upper.delta_tau, lower.delta_tau,
+            z_lay, mu_star=phys.mu_star, R_planet=phys.R_planet,
+            R_star=phys.R_star, a=phys.a, dir_beam=phys.dir_beam,
+            geom_zenith_corr=phys.geom_zenith_corr)
+        cells = upper
+
+    return CellCache(cells_or_upper=cells, lower=lower,
+                     scat_trigger=scat_trigger, F_dir=F_dir, Fc_dir=Fc_dir,
+                     meanmolmass_lay=mmm_lay, z_lay=z_lay,
+                     opac_lay=opac_lay, scat_cross_lay=scat_lay)
+
+
+# --------------------------------------------------------------------------- #
+# flux solve (every iteration)
+# --------------------------------------------------------------------------- #
+
+def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
+                 flux_state: FluxState) -> FluxState:
+    """One spectral flux solve (iterative sweeps or Thomas matrix)."""
+    planckband_lay = planck_mod.planckband_layers(
+        m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
+        dim=phys.plancktable_dim, step=phys.plancktable_step)
+
+    common = dict(scat_corr=phys.scat_corr,
+                  i2s_transition=phys.i2s_transition, epsi=phys.epsi,
+                  mu_star=phys.mu_star, dir_beam=phys.dir_beam,
+                  f_factor=phys.f_factor, R_star=phys.R_star, a=phys.a)
+
+    if phys.iso:
+        cells = cache.cells_or_upper
+        if phys.flux_calc_method == "iteration":
+            F_down, F_up = sweep_ops.fband_iso(
+                cells, planckband_lay, cache.F_dir, m.surf_albedo,
+                flux_state.F_up, n_passes=phys.n_sweep_passes, **common)
+        else:
+            F_down, F_up = thomas_ops.fband_matrix_iso(
+                cells, planckband_lay, cache.F_dir, m.surf_albedo,
+                cache.scat_trigger, **common)
+        return flux_state._replace(F_down=F_down, F_up=F_up)
+    else:
+        T_int = interp_ops.interface_temperatures(T_lay)
+        planckband_int = planck_mod.planckband_interfaces(
+            m.planck_grid, T_int, dim=phys.plancktable_dim,
+            step=phys.plancktable_step)
+        upper, lower = cache.cells_or_upper, cache.lower
+        if phys.flux_calc_method == "iteration":
+            F_down, F_up, Fc_down, Fc_up = sweep_ops.fband_noniso(
+                upper, lower, planckband_lay, planckband_int, cache.F_dir,
+                cache.Fc_dir, m.surf_albedo, flux_state.F_up,
+                flux_state.Fc_up, n_passes=phys.n_sweep_passes,
+                delta_tau_limit=phys.delta_tau_limit, **common)
+        else:
+            F_down, F_up, Fc_down, Fc_up = thomas_ops.fband_matrix_noniso(
+                upper, lower, planckband_lay, planckband_int, cache.F_dir,
+                cache.Fc_dir, m.surf_albedo, cache.scat_trigger,
+                delta_tau_limit=phys.delta_tau_limit, **common)
+        return FluxState(F_down=F_down, F_up=F_up, Fc_down=Fc_down,
+                         Fc_up=Fc_up)
+
+
+def forward_fluxes(phys: Phys, m: ModelArrays, T_lay,
+                   flux_state: Optional[FluxState] = None
+                   ) -> Tuple[FluxState, int_ops.FluxTotals, CellCache]:
+    """Full forward model: temperatures -> integrated fluxes."""
+    if flux_state is None:
+        flux_state = init_flux_state(phys, T_lay.dtype)
+    T_int = interp_ops.interface_temperatures(T_lay)
+    cache = compute_cells(phys, m, T_lay, T_int)
+    flux_state = solve_fluxes(phys, m, cache, T_lay, flux_state)
+    totals = int_ops.integrate_flux(
+        flux_state.F_down, flux_state.F_up, cache.F_dir,
+        m.gauss_weight, m.delta_lambda)
+    return flux_state, totals, cache
