@@ -77,6 +77,11 @@ class Phys:
     convection: int
     no_atmo: int
     dtype: str
+    rad_convergence_limit: float = 1e-8
+    crit_relaxation_numbers: tuple = (10000, 20000)
+    max_nr_iterations: int = 100000
+    runtime_limit: float = 86400.0
+    input_dampara: str = "automatic"
 
     @property
     def ninterface(self) -> int:
@@ -117,7 +122,15 @@ class Phys:
             foreplay=int(cfg.foreplay),
             physical_tstep=float(cfg.physical_tstep),
             convection=int(cfg.convection), no_atmo=int(cfg.no_atmo),
-            dtype=cfg.dtype)
+            dtype=cfg.dtype,
+            rad_convergence_limit=float(cfg.rad_convergence_limit),
+            crit_relaxation_numbers=tuple(
+                int(n) for n in cfg.crit_relaxation_numbers),
+            max_nr_iterations=int(cfg.max_nr_iterations),
+            runtime_limit=float(cfg.runtime_limit),
+            input_dampara=(cfg.input_dampara
+                           if isinstance(cfg.input_dampara, str)
+                           else str(float(cfg.input_dampara))))
 
 
 class ModelArrays(NamedTuple):

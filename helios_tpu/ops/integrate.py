@@ -79,7 +79,7 @@ def contribution_function(trans_wg, planckband_lay, gauss_weight, epsi):
     L = trans_wg.shape[0]
     # cumulative product of transmissions above each layer:
     # trans_to_top[i] = prod_{j>i} trans[j]
-    log_t = jnp.log(jnp.maximum(trans_wg, 1e-300))
+    log_t = jnp.log(jnp.maximum(trans_wg, 1e-30))
     csum = jnp.cumsum(log_t[::-1], axis=0)[::-1]      # sum_{j>=i}
     trans_to_top = jnp.exp(csum - log_t)              # exclude own layer
     tw = gauss_band((1.0 - trans_wg) * trans_to_top, gauss_weight)

@@ -186,7 +186,7 @@ def _noniso_planck_terms(Bt, Bb, M, N, P, del_tau, epsi, E, w0, g0,
       up:    Bt*(M+N) - Bb*P + epsi/(E(1-w0 g0)) * (M - N - P) * (Bb-Bt)/dtau
     """
     iso_term = 0.5 * (Bt + Bb) * (N + M - P)
-    grad = (Bt - Bb) / jnp.maximum(del_tau, 1e-300)
+    grad = (Bt - Bb) / jnp.maximum(del_tau, 1e-30)
     if up_direction:
         noniso_term = (Bt * (M + N) - Bb * P
                        + epsi / (E * (1.0 - w0 * g0)) * (M - N - P) * (-grad))

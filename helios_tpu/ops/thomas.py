@@ -299,7 +299,7 @@ def _absorption_noniso(upper, lower, B_lay, B_int, toa, F_dir, surf_albedo,
 
     def planck_terms(trans, del_tau, B_from, B_to, up: bool):
         iso_term = 0.5 * (B_from + B_to) * (1.0 - trans)
-        grad = (B_from - B_to) / jnp.maximum(del_tau, 1e-300)
+        grad = (B_from - B_to) / jnp.maximum(del_tau, 1e-30)
         if up:
             # up: B_to - trans*B_from + eps*grad_ref*(1-trans); see
             # kernels.cu:2386-2409 (grad_ref defined per half below)
@@ -339,13 +339,13 @@ def _absorption_noniso(upper, lower, B_lay, B_int, toa, F_dir, surf_albedo,
         dt_low < delta_tau_limit,
         0.5 * (B_int_below + B_lay) * (1.0 - t_low),
         B_lay - t_low * B_int_below
-        + epsi * ((B_int_below - B_lay) / jnp.maximum(dt_low, 1e-300))
+        + epsi * ((B_int_below - B_lay) / jnp.maximum(dt_low, 1e-30))
         * (1.0 - t_low))
     pl_up_up = jnp.where(
         dt_up < delta_tau_limit,
         0.5 * (B_int_above + B_lay) * (1.0 - t_up),
         B_int_above - t_up * B_lay
-        + epsi * ((B_lay - B_int_above) / jnp.maximum(dt_up, 1e-300))
+        + epsi * ((B_lay - B_int_above) / jnp.maximum(dt_up, 1e-30))
         * (1.0 - t_up))
 
     boa = (surf_albedo[:, None] * (F_dir[0] + F_down[0])

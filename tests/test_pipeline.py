@@ -1,0 +1,95 @@
+"""End-to-end pipeline tests: full run -> output files -> restart."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from helios_tpu.config import HeliosConfig
+from helios_tpu import pipeline
+from helios_tpu.io.opacity import synthetic_premixed_table
+
+
+def small_cfg(tmp_path, **over):
+    kw = dict(name="test", output_dir=str(tmp_path) + "/",
+              planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+              R_star=1.0, T_star=4000.0, T_intern=200.0,
+              scattering="no", direct_beam="no", convection="no",
+              run_type="iterative", iso_input="yes", nlayer=10,
+              p_boa=1e8, p_toa=1e3, rad_convergence_limit=1e-6)
+    kw.update(over)
+    return HeliosConfig(**kw)
+
+
+@pytest.fixture(scope="module")
+def table():
+    return synthetic_premixed_table(nbin=16, ny=4, ntemp=12, npress=10,
+                                    seed=3)
+
+
+def test_full_run_writes_outputs(tmp_path, table):
+    cfg = small_cfg(tmp_path)
+    out = pipeline.run(cfg, table=table)
+
+    assert bool(jnp.all(out.rad.abort)), "run did not converge"
+    d = os.path.join(str(tmp_path), "test")
+    files = sorted(os.listdir(d))
+    expected = ["test_TOA_flux_eclipse.dat", "test_contribution.dat",
+                "test_integrated_flux.dat", "test_mean_extinct.dat",
+                "test_spec_downflux.dat", "test_spec_upflux.dat",
+                "test_tp.dat", "test_tp_cut.dat", "test_transmission.dat"]
+    for e in expected:
+        assert e in files, f"{e} missing from {files}"
+
+    # tp file: parseable, BOA row + nlayer rows, sensible temperatures
+    with open(os.path.join(d, "test_tp.dat")) as f:
+        lines = f.read().splitlines()
+    assert lines[2].startswith("BOA")
+    layer_rows = lines[3:]
+    assert len(layer_rows) == cfg.nlayer
+    temps = np.array([float(r.split()[1]) for r in layer_rows])
+    assert np.all((temps > 100.0) & (temps < 5000.0))
+
+    # integrated flux file: F_net column ~ F_intern (radiative equilibrium)
+    with open(os.path.join(d, "test_integrated_flux.dat")) as f:
+        rows = f.read().splitlines()[3:]
+    F_net = np.array([float(r.split()[4]) for r in rows])
+    denom = float(out.result.F_down_tot[cfg.nlayer]) + out.result.F_intern
+    assert np.abs(F_net - out.result.F_intern).max() / denom < 1e-5
+
+
+def test_restart_from_written_tp(tmp_path, table):
+    cfg = small_cfg(tmp_path)
+    out = pipeline.run(cfg, table=table)
+
+    tp_path = os.path.join(str(tmp_path), "test", "test_tp.dat")
+    T = pipeline.load_tp_file(tp_path, "helios", cfg.nlayer,
+                              out.result.p_lay, out.result.p_int)
+    # %g formatting keeps 6 significant digits
+    np.testing.assert_allclose(T, out.result.T_lay, rtol=1e-5)
+
+    # post-processing run restarting from the file reproduces the spectrum
+    cfg2 = small_cfg(tmp_path, name="post", run_type="post-processing",
+                     temp_path=tp_path, temp_format="helios")
+    out2 = pipeline.run(cfg2, table=table)
+    np.testing.assert_allclose(
+        out2.result.F_up_band[cfg.nlayer], out.result.F_up_band[cfg.nlayer],
+        rtol=1e-4)
+
+
+def test_tp_pt_format_restart(tmp_path, table):
+    p = np.geomspace(1e3, 1e8, 30)
+    T = 1000.0 * (p / 1e8) ** 0.1
+    path = str(tmp_path / "profile.dat")
+    np.savetxt(path, np.column_stack([p, T]))
+    cfg = small_cfg(tmp_path)
+    cfg = cfg.finalize()
+    from helios_tpu.forward import build_model
+    phys, arrays = build_model(cfg, table)
+    got = pipeline.load_tp_file(path, "PT", phys.nlayer,
+                                np.asarray(arrays.p_lay),
+                                np.asarray(arrays.p_int))
+    want_lay = 1000.0 * (np.asarray(arrays.p_lay) / 1e8) ** 0.1
+    np.testing.assert_allclose(got[:-1], want_lay, rtol=1e-3)
