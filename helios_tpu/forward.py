@@ -82,6 +82,8 @@ class Phys:
     max_nr_iterations: int = 100000
     runtime_limit: float = 86400.0
     input_dampara: str = "automatic"
+    opacity_mixing: str = "premixed"     # premixed | on-the-fly
+    ro_method: int = 1                   # 1 = Random Overlap, 0 = corr-k
 
     @property
     def ninterface(self) -> int:
@@ -130,7 +132,9 @@ class Phys:
             runtime_limit=float(cfg.runtime_limit),
             input_dampara=(cfg.input_dampara
                            if isinstance(cfg.input_dampara, str)
-                           else str(float(cfg.input_dampara))))
+                           else str(float(cfg.input_dampara))),
+            opacity_mixing=cfg.opacity_mixing,
+            ro_method=1 if cfg.k_mixing_method == "RO" else 0)
 
 
 class ModelArrays(NamedTuple):
@@ -241,6 +245,16 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
     if phys.no_atmo:
         kpoints = np.full_like(kpoints, 1e-30)  # read.py:1014-1023
 
+    # on-the-fly mode: the table only donates the spectral/T/P grids; the
+    # premixed fields stay as dummies (species tables live in the
+    # SpeciesSet)
+    scat_tab = table.scat_cross
+    mmm_tab = table.meanmolmass
+    if scat_tab is None:
+        scat_tab = np.zeros(kpoints.shape[:2] + (table.nbin,), cfg.np_dtype)
+    if mmm_tab is None:
+        mmm_tab = np.full(kpoints.shape[:2], 2.3 * pc.AMU, cfg.np_dtype)
+
     arrays = ModelArrays(
         p_lay=jnp.asarray(g.p_lay, dt),
         p_int=jnp.asarray(g.p_int, dt),
@@ -248,8 +262,8 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
         delta_col_upper=jnp.asarray(g.delta_col_upper, dt),
         delta_col_lower=jnp.asarray(g.delta_col_lower, dt),
         ktable=jnp.asarray(kpoints, dt),
-        scat_cross_table=jnp.asarray(table.scat_cross, dt),
-        meanmolmass_table=jnp.asarray(table.meanmolmass, dt),
+        scat_cross_table=jnp.asarray(scat_tab, dt),
+        meanmolmass_table=jnp.asarray(mmm_tab, dt),
         ktemps=jnp.asarray(table.temperatures, dt),
         kpress=jnp.asarray(table.pressures, dt),
         lambda_centers=jnp.asarray(table.wave_centers, dt),
@@ -299,15 +313,29 @@ def altitude_z(phys: Phys, m: ModelArrays, T_lay, meanmolmass_lay):
 # per-cell quantities refresh (every 10th iteration in the reference)
 # --------------------------------------------------------------------------- #
 
-def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int) -> CellCache:
+def _gas_properties(phys: Phys, m: ModelArrays, T, p, sset):
+    """(opacity, Rayleigh cross-section, mean molecular mass) on a T-P
+    profile -- premixed-table interpolation or on-the-fly species mixing."""
+    if phys.opacity_mixing == "on-the-fly":
+        from helios_tpu import chem
+        return chem.mixed_opacities(
+            sset, T, p, m.lambda_centers, m.gauss_weight, m.gauss_y,
+            ro_method=phys.ro_method, scat=phys.scat)
+    opac, scat = interp_ops.interpolate_opacity(
+        m.ktable, m.scat_cross_table, m.ktemps, m.kpress, T, p)
+    mmm = interp_ops.interpolate_meanmolmass(
+        m.meanmolmass_table, m.ktemps, m.kpress, T, p)
+    return opac, scat, mmm
+
+
+def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
+                  sset=None) -> CellCache:
     """Opacity interpolation + transmission + direct beam: the block the
     reference refreshes every 10th iteration (computation.py:860-879)."""
     L = phys.nlayer
 
-    opac_lay, scat_lay = interp_ops.interpolate_opacity(
-        m.ktable, m.scat_cross_table, m.ktemps, m.kpress, T_lay[:L], m.p_lay)
-    mmm_lay = interp_ops.interpolate_meanmolmass(
-        m.meanmolmass_table, m.ktemps, m.kpress, T_lay[:L], m.p_lay)
+    opac_lay, scat_lay, mmm_lay = _gas_properties(
+        phys, m, T_lay[:L], m.p_lay, sset)
 
     if phys.clouds:
         g0_lay = ts_ops.g0_total(scat_lay, m.g_0_cloud_lay,
@@ -341,10 +369,8 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int) -> CellCache:
         Fc_dir = jnp.zeros((L,) + F_dir.shape[1:], F_dir.dtype)
         lower = cells
     else:
-        opac_int, scat_int = interp_ops.interpolate_opacity(
-            m.ktable, m.scat_cross_table, m.ktemps, m.kpress, T_int, m.p_int)
-        mmm_int = interp_ops.interpolate_meanmolmass(
-            m.meanmolmass_table, m.ktemps, m.kpress, T_int, m.p_int)
+        opac_int, scat_int, mmm_int = _gas_properties(
+            phys, m, T_int, m.p_int, sset)
         if phys.clouds:
             g0_int = ts_ops.g0_total(scat_int, m.g_0_cloud_int,
                                      m.cloud_scat_cross_int, phys.g_0)
@@ -418,13 +444,13 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
 
 
 def forward_fluxes(phys: Phys, m: ModelArrays, T_lay,
-                   flux_state: Optional[FluxState] = None
+                   flux_state: Optional[FluxState] = None, sset=None
                    ) -> Tuple[FluxState, int_ops.FluxTotals, CellCache]:
     """Full forward model: temperatures -> integrated fluxes."""
     if flux_state is None:
         flux_state = init_flux_state(phys, T_lay.dtype)
     T_int = interp_ops.interface_temperatures(T_lay)
-    cache = compute_cells(phys, m, T_lay, T_int)
+    cache = compute_cells(phys, m, T_lay, T_int, sset)
     flux_state = solve_fluxes(phys, m, cache, T_lay, flux_state)
     totals = int_ops.integrate_flux(
         flux_state.F_down, flux_state.F_up, cache.F_dir,

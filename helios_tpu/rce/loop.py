@@ -97,7 +97,7 @@ def conv_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
 
 def _one_convection_iteration(phys: Phys, m: ModelArrays,
                               thermo: ThermoProps,
-                              s: ConvLoopState) -> ConvLoopState:
+                              s: ConvLoopState, sset=None) -> ConvLoopState:
     """Body of the convection loop (computation.py:1030-1164)."""
     L = phys.nlayer
 
@@ -118,7 +118,7 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
     T_int = interp_ops.interface_temperatures(T_adj)
     cache = jax.lax.cond(
         s.it % 10 == 0,
-        lambda: compute_cells(phys, m, T_adj, T_int),
+        lambda: compute_cells(phys, m, T_adj, T_int, sset),
         lambda: s.cache)
     flux = solve_fluxes(phys, m, cache, T_adj, s.flux)
     totals = int_ops.integrate_flux(flux.F_down, flux.F_up, cache.F_dir,
@@ -174,7 +174,8 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
 
 def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
                     rad: RadLoopState,
-                    max_steps: Optional[int] = None) -> ConvLoopState:
+                    max_steps: Optional[int] = None,
+                    sset=None) -> ConvLoopState:
     """Run the radiative-convective interplay to equilibrium on device.
 
     Entered from the final radiation-loop state; like the reference, the
@@ -215,4 +216,5 @@ def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
         return c
 
     return jax.lax.while_loop(
-        cond, lambda s: _one_convection_iteration(phys, m, thermo, s), state)
+        cond, lambda s: _one_convection_iteration(phys, m, thermo, s, sset),
+        state)

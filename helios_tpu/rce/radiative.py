@@ -200,7 +200,7 @@ class RadLoopState(NamedTuple):
 
 def _one_radiation_iteration(phys: Phys, m: ModelArrays,
                              thermo: Optional[ThermoProps],
-                             s: RadLoopState) -> RadLoopState:
+                             s: RadLoopState, sset=None) -> RadLoopState:
     """Body of the radiation loop (computation.py:851-981)."""
     L = phys.nlayer
     T_int = interp_ops.interface_temperatures(s.T_lay)
@@ -208,7 +208,7 @@ def _one_radiation_iteration(phys: Phys, m: ModelArrays,
     # every 10th iteration: refresh opacities/transmission/beam
     cache = jax.lax.cond(
         s.it % 10 == 0,
-        lambda: compute_cells(phys, m, s.T_lay, T_int),
+        lambda: compute_cells(phys, m, s.T_lay, T_int, sset),
         lambda: s.cache)
 
     flux = solve_fluxes(phys, m, cache, s.T_lay, s.flux)
@@ -267,11 +267,12 @@ def _one_radiation_iteration(phys: Phys, m: ModelArrays,
         goto_convection=goto_conv, aborted=s.aborted | hit_cap)
 
 
-def init_rad_state(phys: Phys, m: ModelArrays, T_lay0) -> RadLoopState:
+def init_rad_state(phys: Phys, m: ModelArrays, T_lay0,
+                   sset=None) -> RadLoopState:
     L = phys.nlayer
     dtype = T_lay0.dtype
     T_int = interp_ops.interface_temperatures(T_lay0)
-    cache = compute_cells(phys, m, T_lay0, T_int)
+    cache = compute_cells(phys, m, T_lay0, T_int, sset)
     flux = init_flux_state(phys, dtype)
     totals = int_ops.integrate_flux(flux.F_down, flux.F_up, cache.F_dir,
                                     m.gauss_weight, m.delta_lambda)
@@ -290,13 +291,14 @@ def init_rad_state(phys: Phys, m: ModelArrays, T_lay0) -> RadLoopState:
 
 def radiation_loop(phys: Phys, m: ModelArrays,
                    thermo: Optional[ThermoProps], T_lay0,
-                   max_steps: Optional[int] = None) -> RadLoopState:
+                   max_steps: Optional[int] = None,
+                   sset=None) -> RadLoopState:
     """Run the radiative-equilibrium iteration to convergence on device.
 
     One jitted `lax.while_loop`; equivalent of computation.py:827-990.
     ``max_steps`` optionally caps the loop (for chunked host monitoring).
     """
-    state = init_rad_state(phys, m, T_lay0)
+    state = init_rad_state(phys, m, T_lay0, sset)
     if phys.singlewalk:
         # post-processing: one flux solve (with the 1000*scat+1 sweep
         # passes), no temperature iteration (computation.py:983-984)
@@ -315,4 +317,5 @@ def radiation_loop(phys: Phys, m: ModelArrays,
         return c
 
     return jax.lax.while_loop(
-        cond, lambda s: _one_radiation_iteration(phys, m, thermo, s), state)
+        cond, lambda s: _one_radiation_iteration(phys, m, thermo, s, sset),
+        state)
