@@ -208,6 +208,7 @@ def init_flux_state(phys: Phys, dtype) -> FluxState:
 def build_model(cfg: HeliosConfig, table: OpacityTable,
                 starflux: Optional[np.ndarray] = None,
                 surf_albedo: Optional[np.ndarray] = None,
+                cloud_result=None,
                 ) -> Tuple[Phys, ModelArrays]:
     """Assemble (Phys, ModelArrays) from config + opacity table."""
     phys = Phys.from_config(cfg, nbin=table.nbin, ny=table.ny)
@@ -274,10 +275,18 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
         planck_grid=planck_grid.astype(dt),
         starflux=starflux,
         surf_albedo=jnp.asarray(surf_albedo, dt),
-        cloud_abs_cross_lay=zeros_lb, cloud_scat_cross_lay=zeros_lb,
-        g_0_cloud_lay=zeros_lb,
-        cloud_abs_cross_int=zeros_ib, cloud_scat_cross_int=zeros_ib,
-        g_0_cloud_int=zeros_ib,
+        cloud_abs_cross_lay=(jnp.asarray(cloud_result.abs_cross_lay, dt)
+                             if cloud_result is not None else zeros_lb),
+        cloud_scat_cross_lay=(jnp.asarray(cloud_result.scat_cross_lay, dt)
+                              if cloud_result is not None else zeros_lb),
+        g_0_cloud_lay=(jnp.asarray(cloud_result.g_0_lay, dt)
+                       if cloud_result is not None else zeros_lb),
+        cloud_abs_cross_int=(jnp.asarray(cloud_result.abs_cross_int, dt)
+                             if cloud_result is not None else zeros_ib),
+        cloud_scat_cross_int=(jnp.asarray(cloud_result.scat_cross_int, dt)
+                              if cloud_result is not None else zeros_ib),
+        g_0_cloud_int=(jnp.asarray(cloud_result.g_0_int, dt)
+                       if cloud_result is not None else zeros_ib),
         F_add_heat_lay=zeros_l, F_add_heat_sum=zeros_l)
     return phys, arrays
 

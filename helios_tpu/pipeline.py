@@ -141,7 +141,8 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
                    conv_layer=None, F_smooth_sum=None, F_net_diff=None,
                    kappa_lay=None, c_p_lay=None, relaxed=0,
                    final_limit=None, singlewalk=None,
-                   star_corr_factor=1.0) -> writers.RunResult:
+                   star_corr_factor=1.0,
+                   cloud_result=None) -> writers.RunResult:
     """Assemble the host-side RunResult snapshot (one device->host pull)."""
     L = phys.nlayer
     cache = post["cache"]
@@ -219,6 +220,15 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
         rad_convergence_limit=(float(final_limit) if final_limit is not None
                                else phys.rad_convergence_limit),
     )
+    if cloud_result is not None:
+        r.f_all_clouds_lay = cloud_result.f_lay
+        r.abs_cross_all_clouds_lay = cloud_result.abs_cross_lay
+        r.scat_cross_all_clouds_lay = cloud_result.scat_cross_lay
+        dcm = np.asarray(m.delta_colmass)[:, None]
+        mmm = np.asarray(cache.meanmolmass_lay)[:, None]
+        r.delta_tau_all_clouds = (dcm * (cloud_result.abs_cross_lay
+                                         + cloud_result.scat_cross_lay)
+                                  / mmm)
     r.F_net_conv = writers.calculate_conv_flux(r)
     return r
 
@@ -232,7 +242,16 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
     if table is None:
         table = load_opacity_file(cfg.opacity_path)
 
-    phys, arrays = build_model(cfg, table)
+    cloud_result = None
+    if cfg.clouds:
+        from helios_tpu import clouds as clouds_mod
+        from helios_tpu import grid as _grid
+        g = _grid.build_grid(cfg.p_boa, cfg.p_toa, cfg.nlayer, cfg.g)
+        cloud_result = clouds_mod.cloud_pre_processing(
+            cfg, table.wave_centers, table.wave_edges, g.p_lay, g.p_int,
+            cfg.iso)
+
+    phys, arrays = build_model(cfg, table, cloud_result=cloud_result)
     if cfg.convection and not isinstance(cfg.kappa_value, str):
         thermo = make_const_thermo(float(cfg.kappa_value))
     else:
@@ -275,7 +294,8 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         cfg, phys, arrays, final_T, flux_state, post,
         conv_unstable=conv_unstable, conv_layer=conv_layer,
         F_smooth_sum=F_smooth_sum, kappa_lay=kappa_lay, c_p_lay=c_p_lay,
-        relaxed=relaxed, final_limit=final_limit)
+        relaxed=relaxed, final_limit=final_limit,
+        cloud_result=cloud_result)
 
     if write_output:
         writers.write_all(result)
