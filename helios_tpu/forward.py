@@ -168,9 +168,8 @@ class ModelArrays(NamedTuple):
     cloud_abs_cross_int: jnp.ndarray   # [L+1, B]
     cloud_scat_cross_int: jnp.ndarray  # [L+1, B]
     g_0_cloud_int: jnp.ndarray         # [L+1, B]
-    # additional heating (zeros if inactive)
-    F_add_heat_lay: jnp.ndarray        # [L]
-    F_add_heat_sum: jnp.ndarray        # [L]
+    # additional heating density [erg s^-1 cm^-3] (zeros if inactive)
+    add_heat_dens: jnp.ndarray         # [L]
 
 
 class FluxState(NamedTuple):
@@ -194,6 +193,8 @@ class CellCache(NamedTuple):
     z_lay: jnp.ndarray                # [L]
     opac_lay: jnp.ndarray             # [L, B, Y] (diagnostics/mean opac)
     scat_cross_lay: jnp.ndarray       # [L, B]
+    F_add_heat_lay: jnp.ndarray       # [L]  add_heat_dens * delta_z
+    F_add_heat_sum: jnp.ndarray       # [L]  cumulative sum
 
 
 def init_flux_state(phys: Phys, dtype) -> FluxState:
@@ -287,7 +288,7 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
                               if cloud_result is not None else zeros_ib),
         g_0_cloud_int=(jnp.asarray(cloud_result.g_0_int, dt)
                        if cloud_result is not None else zeros_ib),
-        F_add_heat_lay=zeros_l, F_add_heat_sum=zeros_l)
+        add_heat_dens=zeros_l)
     return phys, arrays
 
 
@@ -398,10 +399,17 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
             geom_zenith_corr=phys.geom_zenith_corr)
         cells = upper
 
+    # additional heating flux per layer: volumetric density * layer height
+    # (host_functions.py:701-711), refreshed with delta_z every cell update
+    F_add_heat_lay = m.add_heat_dens * delta_z
+    F_add_heat_sum = jnp.cumsum(F_add_heat_lay)
+
     return CellCache(cells_or_upper=cells, lower=lower,
                      scat_trigger=scat_trigger, F_dir=F_dir, Fc_dir=Fc_dir,
                      meanmolmass_lay=mmm_lay, z_lay=z_lay,
-                     opac_lay=opac_lay, scat_cross_lay=scat_lay)
+                     opac_lay=opac_lay, scat_cross_lay=scat_lay,
+                     F_add_heat_lay=F_add_heat_lay,
+                     F_add_heat_sum=F_add_heat_sum)
 
 
 # --------------------------------------------------------------------------- #

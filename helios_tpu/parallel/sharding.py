@@ -71,7 +71,7 @@ _MODEL_SPECS = dict(
     cloud_abs_cross_int=P(None, "spectral"),
     cloud_scat_cross_int=P(None, "spectral"),
     g_0_cloud_int=P(None, "spectral"),
-    F_add_heat_lay=P(), F_add_heat_sum=P(),
+    add_heat_dens=P(),
 )
 
 

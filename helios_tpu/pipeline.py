@@ -97,12 +97,12 @@ class RunOutput:
 
 
 def post_process(phys: Phys, m: ModelArrays, T_lay, flux_state,
-                 F_smooth_sum, conv_layer=None, thermo=None):
+                 F_smooth_sum, conv_layer=None, thermo=None, sset=None):
     """Final-state diagnostics (computation.py:1176-1296): band-integrated
     optical depth/transmission, contribution function, mean opacities,
     beam flux.  One jitted call."""
     T_int = interp_ops.interface_temperatures(T_lay)
-    cache = compute_cells(phys, m, T_lay, T_int)
+    cache = compute_cells(phys, m, T_lay, T_int, sset)
     totals = int_ops.integrate_flux(flux_state.F_down, flux_state.F_up,
                                     cache.F_dir, m.gauss_weight,
                                     m.delta_lambda)
@@ -191,8 +191,8 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
             totals.F_dir_band, m.delta_lambda)),
         F_net_diff=(np.asarray(F_net_diff) if F_net_diff is not None
                     else F_net[:L] - F_net[1:]),
-        F_add_heat_lay=np.asarray(m.F_add_heat_lay),
-        F_add_heat_sum=np.asarray(m.F_add_heat_sum),
+        F_add_heat_lay=np.asarray(cache.F_add_heat_lay),
+        F_add_heat_sum=np.asarray(cache.F_add_heat_sum),
         F_smooth_sum=F_smooth_sum,
         F_down_band=np.asarray(totals.F_down_band),
         F_up_band=np.asarray(totals.F_up_band),
@@ -233,25 +233,128 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
     return r
 
 
+def load_starflux(cfg: HeliosConfig, nbin: int) -> np.ndarray:
+    """Stellar spectrum from HDF5 or zeros for blackbody mode
+    (read.py:1195-1236)."""
+    if cfg.stellar_model == "file":
+        import h5py
+        with h5py.File(cfg.stellar_path, "r") as f:
+            starflux = np.asarray(f[cfg.stellar_dataset][:], float)
+        if len(starflux) != nbin:
+            raise OverflowError(
+                "Stellar spectrum and opacity files have different "
+                f"lengths ({len(starflux)} vs {nbin}).")
+        return starflux
+    if cfg.stellar_model == "blackbody":
+        return np.zeros(nbin)
+    raise IOError("Unknown stellar model. Please check your input.")
+
+
+def build_species_set_from_files(cfg: HeliosConfig):
+    """On-the-fly inputs from the configured file paths (helios.py:51-55).
+
+    Returns (SpeciesSet, donor OpacityTable carrying the spectral/T/P
+    grids from the first absorbing species file)."""
+    import os
+
+    from helios_tpu import chem
+    from helios_tpu.io.opacity import load_opacity_file as _load
+
+    specs = chem.parse_species_file(cfg.species_path)
+
+    donor = None
+    opacity_tables = {}
+    for spec in specs:
+        if not spec.absorbing:
+            continue
+        for suffix in ("_opac_ip_kdistr.h5", "_opac_ip.h5",
+                       "_opac_ip_sampling.h5"):
+            path = os.path.join(cfg.species_opacity_dir,
+                                spec.name + suffix)
+            if os.path.exists(path):
+                t = _load(path, premixed=False)
+                opacity_tables[spec.name] = t.kpoints
+                if donor is None:
+                    donor = t
+                break
+        else:
+            raise IOError(f"No opacity file found for {spec.name} in "
+                          f"{cfg.species_opacity_dir}")
+
+    scat_tables = {}
+    scat_path = os.path.join(cfg.species_opacity_dir,
+                             "scat_cross_sections.h5")
+    if os.path.exists(scat_path):
+        import h5py
+        with h5py.File(scat_path, "r") as f:
+            for spec in specs:
+                key = "rayleigh_" + spec.name
+                if spec.scattering and spec.name != "H2O" and key in f:
+                    scat_tables[spec.name] = np.asarray(f[key][:], float)
+
+    vmr_table = vmr_press = None
+    if any(s.source_for_vmr == "file" for s in specs):
+        vmr_table = np.genfromtxt(cfg.vmr_file_path, names=True, dtype=None,
+                                  skip_header=cfg.vmr_file_header_lines)
+        vmr_press = np.asarray(vmr_table[cfg.vmr_file_press_name], float)
+        if cfg.vmr_file_press_unit == "Pa":
+            vmr_press = vmr_press * 10.0
+        elif cfg.vmr_file_press_unit == "bar":
+            vmr_press = vmr_press * 1e6
+
+    g = grid_mod.build_grid(cfg.p_boa, cfg.p_toa, cfg.nlayer, cfg.g)
+    sset = chem.build_species_set(
+        specs, ktemps=donor.temperatures, kpress=donor.pressures,
+        nbin=donor.nbin, ny=donor.ny, nlayer=cfg.nlayer,
+        opacity_tables=opacity_tables, scat_tables=scat_tables,
+        vmr_file_table=vmr_table, vmr_file_press=vmr_press,
+        fastchem_dir=cfg.fastchem_dir, p_lay=g.p_lay, p_int=g.p_int)
+    return sset, donor
+
+
 def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
-        write_output: bool = True) -> RunOutput:
-    """Full pipeline run (the run_helios equivalent)."""
+        write_output: bool = True, sset=None) -> RunOutput:
+    """Full pipeline run (the run_helios equivalent, helios.py:35-137)."""
+    from helios_tpu import host_physics as hp
+
     t0 = time.time()
     if not cfg._finalized:
         cfg = cfg.finalize()
+
+    if cfg.opacity_mixing == "on-the-fly" and sset is None and table is None:
+        sset, table = build_species_set_from_files(cfg)
     if table is None:
         table = load_opacity_file(cfg.opacity_path)
+
+    # Koll (2021) f-factor approximation for rocky planets
+    # (helios.py:67-68)
+    if cfg.approx_f and cfg.planet_type == "rocky":
+        tau_lw = hp.read_tau_lw_from_file(cfg.output_dir, cfg.name)
+        if tau_lw is not None:
+            cfg.tau_lw = tau_lw
+        cfg.f_factor = hp.approx_f_from_formula(
+            tau_lw=cfg.tau_lw, p_boa=cfg.p_boa, R_star=cfg.R_star,
+            a=cfg.a, T_star=cfg.T_star)
+
+    starflux = load_starflux(cfg, table.nbin)
+    surf_albedo = hp.load_surf_albedo(cfg, table.wave_centers)
 
     cloud_result = None
     if cfg.clouds:
         from helios_tpu import clouds as clouds_mod
-        from helios_tpu import grid as _grid
-        g = _grid.build_grid(cfg.p_boa, cfg.p_toa, cfg.nlayer, cfg.g)
+        g = grid_mod.build_grid(cfg.p_boa, cfg.p_toa, cfg.nlayer, cfg.g)
         cloud_result = clouds_mod.cloud_pre_processing(
             cfg, table.wave_centers, table.wave_edges, g.p_lay, g.p_int,
             cfg.iso)
 
-    phys, arrays = build_model(cfg, table, cloud_result=cloud_result)
+    phys, arrays = build_model(cfg, table, starflux=starflux,
+                               surf_albedo=surf_albedo,
+                               cloud_result=cloud_result)
+
+    if cfg.add_heating:
+        arrays = arrays._replace(add_heat_dens=jnp.asarray(
+            hp.load_additional_heating(cfg, np.asarray(arrays.p_lay))))
+
     if cfg.convection and not isinstance(cfg.kappa_value, str):
         thermo = make_const_thermo(float(cfg.kappa_value))
     else:
@@ -259,12 +362,14 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
 
     T0 = jnp.asarray(initial_temperatures(cfg, phys, arrays))
 
-    rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t))(T0)
+    rad = jax.jit(
+        lambda t: radiation_loop(phys, arrays, thermo, t, sset=sset))(T0)
 
     conv = None
     if phys.convection and not phys.singlewalk and not phys.iso:
         conv = jax.jit(
-            lambda r: convection_loop(phys, arrays, thermo, r))(rad)
+            lambda r: convection_loop(phys, arrays, thermo, r,
+                                      sset=sset))(rad)
         final_T = conv.T_lay
         flux_state = conv.flux
         F_smooth_sum = conv.F_smooth_sum
@@ -287,7 +392,8 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
     else:
         kappa_lay = c_p_lay = conv_unstable = None
 
-    post = post_process(phys, arrays, final_T, flux_state, F_smooth_sum)
+    post = post_process(phys, arrays, final_T, flux_state, F_smooth_sum,
+                        sset=sset)
 
     relaxed = int(float(final_limit) > phys.rad_convergence_limit * 1.5)
     result = collect_result(
@@ -302,5 +408,65 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         if (rad.aborted if conv is None else conv.aborted):
             writers.write_abort_file(result)
 
+        # coupling: TP write + cross-iteration convergence test
+        # (helios.py:129-131)
+        if cfg.coupling:
+            T_prev = None
+            if cfg.coupling_speed_up and cfg.coupling_iter_nr > 0:
+                T_prev = _read_coupling_tp(cfg, cfg.coupling_iter_nr - 1)
+            result.coupling_speed_up = int(cfg.coupling_speed_up)
+            result.coupling_iter_nr = int(cfg.coupling_iter_nr)
+            result.coupling_full_output = int(cfg.coupling_full_output)
+            writers.write_tp_for_coupling(result, T_previous=T_prev)
+            _coupling_convergence(cfg, result)
+
+        # tau_lw / tau_sw estimate for the Koll f approximation
+        # (helios.py:133-134)
+        if cfg.approx_f:
+            tau_lw, tau_sw = hp.calc_tau_lw_sw(
+                result.delta_tau_band, result.opac_wave,
+                result.opac_deltawave, result.T_lay[phys.nlayer],
+                phys.T_star)
+            hp.write_tau_lw_sw_file(cfg.output_dir, cfg.name, tau_lw,
+                                    tau_sw, phys.f_factor)
+
     return RunOutput(phys=phys, arrays=arrays, rad=rad, conv=conv,
                      result=result, wall_seconds=time.time() - t0)
+
+
+def _coupling_tp_path(cfg: HeliosConfig, iter_nr: int) -> str:
+    """Path of a coupling TP file (write.py:725-746 naming)."""
+    import os
+    name = cfg.name
+    if cfg.coupling_full_output:
+        base = name[:name.rfind("_") + 1]
+        name = base + str(iter_nr)
+    return os.path.join(cfg.output_dir, name,
+                        f"{name}_tp_coupling_{iter_nr}.dat")
+
+
+def _read_coupling_tp(cfg: HeliosConfig, iter_nr: int) -> np.ndarray:
+    T = []
+    with open(_coupling_tp_path(cfg, iter_nr)) as f:
+        next(f)
+        for line in f:
+            col = line.split()
+            if len(col) > 1:
+                T.append(float(col[1]))
+    return np.asarray(T)
+
+
+def _coupling_convergence(cfg: HeliosConfig, result) -> int:
+    """Cross-iteration TP convergence (host_functions.py:962-1018)."""
+    import os
+    converged = 0
+    if cfg.coupling_iter_nr > 0 and not cfg.singlewalk:
+        prev = _read_coupling_tp(cfg, cfg.coupling_iter_nr - 1)
+        cur = _read_coupling_tp(cfg, cfg.coupling_iter_nr)
+        rel = np.abs(prev - cur) / cur
+        converged = int(np.all(rel < cfg.coupl_convergence_limit))
+        with open(os.path.join(
+                result.out,
+                f"{result.name}_coupling_convergence.dat"), "w") as f:
+            f.write(str(converged))
+    return converged

@@ -44,7 +44,8 @@ class ConvLoopState(NamedTuple):
 
 
 def conv_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
-                   T_lay, T_store, prefactor, marked_red, it):
+                   T_lay, T_store, prefactor, marked_red, it,
+                   F_add_heat_lay=None):
     """Radiative forward step during the convective phase
     (conv_temp_iter, kernels.cu:2768-2884).
 
@@ -56,7 +57,9 @@ def conv_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
     L = phys.nlayer
     F_net = totals.F_net
 
-    F_net_diff = F_net[:L] - F_net[1:L + 1] + m.F_add_heat_lay
+    if F_add_heat_lay is None:
+        F_add_heat_lay = jnp.zeros(L, T_lay.dtype)
+    F_net_diff = F_net[:L] - F_net[1:L + 1] + F_add_heat_lay
     F_smooth, F_smooth_sum = smoothing_flux(phys, T_lay, m.p_lay)
     combined_lay = F_net_diff + F_smooth
 
@@ -110,7 +113,7 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
         s.T_lay, m.p_lay, m.p_int, kappa_lay, kap_int, c_p_lay,
         s.cache.meanmolmass_lay, iter_value=s.it,
         T_star=phys.T_star, input_dampara=phys.input_dampara,
-        F_intern=phys.F_intern, F_add_heat_sum=m.F_add_heat_sum,
+        F_intern=phys.F_intern, F_add_heat_sum=s.cache.F_add_heat_sum,
         F_smooth_sum=s.F_smooth_sum, F_down_tot=s.totals.F_down_tot,
         F_up_tot=s.totals.F_up_tot)
 
@@ -134,7 +137,7 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
     # --- convergence on radiative layers only; min 400 iterations ---
     criterion, _converged, marked_red = convect.check_for_radiative_eq(
         T_adj, conv_layer, totals.F_net, totals.F_down_tot,
-        F_intern=phys.F_intern, F_add_heat_sum=m.F_add_heat_sum,
+        F_intern=phys.F_intern, F_add_heat_sum=cache.F_add_heat_sum,
         F_smooth_sum=s.F_smooth_sum,
         rad_convergence_limit=s.local_limit)
     not_done = (~criterion) | (s.it < 400) | (jnp.sum(conv_layer) == 0)
@@ -147,7 +150,8 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
     # --- radiative forward step while not converged ---
     def step():
         T_new, T_store, prefactor, F_smooth_sum = conv_temp_step(
-            phys, m, totals, T_adj, s.T_store, s.prefactor, marked_red, s.it)
+            phys, m, totals, T_adj, s.T_store, s.prefactor, marked_red,
+            s.it, F_add_heat_lay=cache.F_add_heat_lay)
         return T_new, T_store, prefactor, F_smooth_sum, s.it + 1
 
     def no_step():

@@ -105,7 +105,8 @@ class RadTempResult(NamedTuple):
 
 def rad_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
                   T_lay, T_store, prefactor, it, local_limit,
-                  c_p_lay=None, meanmolmass_lay=None) -> RadTempResult:
+                  c_p_lay=None, meanmolmass_lay=None,
+                  F_add_heat_lay=None, F_add_heat_sum=None) -> RadTempResult:
     """One radiative temperature update (rad_temp_iter, kernels.cu:2606-2763).
 
     All [L+1] vectors include the surface/BOA ghost layer at index L.
@@ -114,7 +115,10 @@ def rad_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
     F_net = totals.F_net
     dtype = T_lay.dtype
 
-    F_net_diff = F_net[:L] - F_net[1:L + 1] + m.F_add_heat_lay
+    if F_add_heat_lay is None:
+        F_add_heat_lay = jnp.zeros(L, dtype)
+        F_add_heat_sum = jnp.zeros(L, dtype)
+    F_net_diff = F_net[:L] - F_net[1:L + 1] + F_add_heat_lay
     F_smooth, F_smooth_sum = smoothing_flux(phys, T_lay, m.p_lay)
     combined_lay = F_net_diff + F_smooth
 
@@ -169,7 +173,7 @@ def rad_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
     T_new = jnp.clip(T_new, 1.001, max_limit)
 
     # per-layer convergence flags (kernels.cu:2750-2762)
-    crit_lay = (jnp.abs(phys.F_intern + m.F_add_heat_sum + F_smooth_sum
+    crit_lay = (jnp.abs(phys.F_intern + F_add_heat_sum + F_smooth_sum
                         - F_net[1:L + 1]) / denom_crit < local_limit)
     crit_surf = jnp.abs(phys.F_intern - F_net[0]) / denom_crit < local_limit
     abort = jnp.concatenate([crit_lay, crit_surf[None]])
@@ -224,7 +228,9 @@ def _one_radiation_iteration(phys: Phys, m: ModelArrays,
         return rad_temp_step(phys, m, totals, s.T_lay, s.T_store,
                              s.prefactor, s.it, s.local_limit,
                              c_p_lay=c_p_lay,
-                             meanmolmass_lay=cache.meanmolmass_lay)
+                             meanmolmass_lay=cache.meanmolmass_lay,
+                             F_add_heat_lay=cache.F_add_heat_lay,
+                             F_add_heat_sum=cache.F_add_heat_sum)
 
     def no_step():
         return RadTempResult(T_lay=s.T_lay, T_store=s.T_store,

@@ -182,8 +182,6 @@ def test_rad_temp_step_matches_oracle(smooth, itervalue):
     class M:
         p_lay = jnp.asarray(g.p_lay)
         p_int = jnp.asarray(g.p_int)
-        F_add_heat_lay = jnp.zeros(L)
-        F_add_heat_sum = jnp.zeros(L)
 
     res = rad_mod.rad_temp_step(
         phys, M, totals, jnp.asarray(T_lay), jnp.asarray(T_store),
