@@ -84,6 +84,17 @@ class Phys:
     input_dampara: str = "automatic"
     opacity_mixing: str = "premixed"     # premixed | on-the-fly
     ro_method: int = 1                   # 1 = Random Overlap, 0 = corr-k
+    use_pallas: str = "auto"             # auto | yes | no
+
+    @property
+    def pallas_active(self) -> bool:
+        """Fused Pallas kernels: on for TPU backends (interpret mode on CPU
+        is only for correctness tests)."""
+        if self.use_pallas == "yes":
+            return True
+        if self.use_pallas == "no":
+            return False
+        return jax.default_backend() == "tpu"
 
     @property
     def ninterface(self) -> int:
@@ -134,7 +145,9 @@ class Phys:
                            if isinstance(cfg.input_dampara, str)
                            else str(float(cfg.input_dampara))),
             opacity_mixing=cfg.opacity_mixing,
-            ro_method=1 if cfg.k_mixing_method == "RO" else 0)
+            ro_method=1 if cfg.k_mixing_method == "RO" else 0,
+            use_pallas=(cfg.use_pallas if isinstance(cfg.use_pallas, str)
+                        else ("yes" if cfg.use_pallas else "no")))
 
 
 class ModelArrays(NamedTuple):
@@ -431,9 +444,15 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
     if phys.iso:
         cells = cache.cells_or_upper
         if phys.flux_calc_method == "iteration":
-            F_down, F_up = sweep_ops.fband_iso(
-                cells, planckband_lay, cache.F_dir, m.surf_albedo,
-                flux_state.F_up, n_passes=phys.n_sweep_passes, **common)
+            if phys.pallas_active:
+                from helios_tpu.kernels.sweep_pallas import fband_iso_pallas
+                F_down, F_up = fband_iso_pallas(
+                    cells, planckband_lay, cache.F_dir, m.surf_albedo,
+                    flux_state.F_up, n_passes=phys.n_sweep_passes, **common)
+            else:
+                F_down, F_up = sweep_ops.fband_iso(
+                    cells, planckband_lay, cache.F_dir, m.surf_albedo,
+                    flux_state.F_up, n_passes=phys.n_sweep_passes, **common)
         else:
             F_down, F_up = thomas_ops.fband_matrix_iso(
                 cells, planckband_lay, cache.F_dir, m.surf_albedo,

@@ -1,0 +1,168 @@
+"""Pallas fused two-stream sweep kernel.
+
+The iterative flux solve is the hot loop of the RCE iteration: per pass, a
+downward then an upward first-order recurrence over ~105 layers, elementwise
+across the spectral grid.  The `lax.scan` formulation launches
+2 * n_passes * nlayer tiny XLA ops whose latency dominates; this kernel
+keeps the whole recursion resident in VMEM -- one Pallas program per
+spectral tile runs all passes and all layers with no HBM round-trips
+(the TPU-native analogue of the per-thread loop in the reference's
+fband_iso CUDA kernel, source/kernels.cu:1366-1515).
+
+Layout: the spectral axes are flattened to S = nbin * ny and padded to the
+lane tile so every per-layer step is a dense [1, S_tile] VPU op.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _iso_sweep_kernel(a_ref, b_ref, sd_ref, su_ref, toa_ref, refl_ref,
+                      emis_ref, fdir0_ref, fup_prev_ref,
+                      fdown_ref, fup_ref, *, nlayer: int, n_passes: int):
+    """One spectral tile: run n_passes (down + up) sweeps over all layers.
+
+    a, b, sd, su: [L, S]; toa/refl/emis/fdir0: [1, S];
+    fup_prev: [L+1, S]; outputs fdown/fup: [L+1, S].
+    """
+    L = nlayer
+
+    # first pass reads the previous solve's upward flux
+    fup_ref[:] = fup_prev_ref[:]
+    toa = toa_ref[0, :]
+    fdown_ref[L, :] = toa
+
+    def one_pass(p, _):
+        # downward: F_down[i] = a[i] F_down[i+1] + b[i] F_up[i] + sd[i]
+        def down_step(k, carry):
+            i = jnp.int32(L - 1) - k
+            f = (a_ref[i, :] * carry + b_ref[i, :] * fup_ref[i, :]
+                 + sd_ref[i, :])
+            fdown_ref[i, :] = f
+            return f
+
+        # int32 loop bounds keep every index i32 -- under jax_enable_x64
+        # the default i64 loop variable sends Mosaic's convert lowering
+        # into infinite recursion
+        jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
+
+        # BOA boundary: reflection + emission
+        boa = (refl_ref[0, :] * (fdir0_ref[0, :] + fdown_ref[0, :])
+               + emis_ref[0, :])
+        fup_ref[0, :] = boa
+
+        # upward: F_up[i] = a[i-1] F_up[i-1] + b[i-1] F_down[i] + su[i-1]
+        def up_step(i, carry):
+            f = (a_ref[i, :] * carry + b_ref[i, :] * fdown_ref[i + 1, :]
+                 + su_ref[i, :])
+            fup_ref[i + 1, :] = f
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
+        return np.int32(0)
+
+    jax.lax.fori_loop(np.int32(0), np.int32(n_passes), one_pass,
+                      np.int32(0))
+
+
+def _pad_to(x, s_pad):
+    pad = s_pad - x.shape[-1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def _use_interpret() -> bool:
+    """Pallas on the CPU backend only runs in interpreter mode (used by the
+    test suite; the compiled path needs a real TPU)."""
+    return jax.default_backend() == "cpu"
+
+
+@partial(jax.jit, static_argnames=("n_passes", "tile_s"))
+def fused_iso_sweep(a, b_nm, src_down, src_up, toa, boa_refl, boa_emis,
+                    F_dir0, F_up_prev, *, n_passes: int, tile_s: int = 2048):
+    """Pallas-fused iterative isothermal flux solve.
+
+    Args (spectral-flattened, S = nbin * ny):
+      a, b_nm, src_down, src_up: [L, S] recurrence coefficients (P/M, -N/M,
+        sources / M -- see ops.sweep.iso_sweep_coeffs).
+      toa: [S] TOA downward boundary; boa_refl: [S] surface albedo;
+      boa_emis: [S] surface emission; F_dir0: [S] direct beam at BOA.
+      F_up_prev: [L+1, S] upward flux of the previous solve.
+
+    Returns (F_down, F_up): [L+1, S].
+    """
+    L, S = a.shape
+    dtype = a.dtype
+    tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
+    s_pad = tile_s * ((S + tile_s - 1) // tile_s)
+    n_tiles = s_pad // tile_s
+
+    a_p = _pad_to(a, s_pad)
+    b_p = _pad_to(b_nm, s_pad)
+    sd_p = _pad_to(src_down, s_pad)
+    su_p = _pad_to(src_up, s_pad)
+    toa_p = _pad_to(toa[None, :], s_pad)
+    refl_p = _pad_to(boa_refl[None, :], s_pad)
+    emis_p = _pad_to(boa_emis[None, :], s_pad)
+    fdir0_p = _pad_to(F_dir0[None, :], s_pad)
+    fup_prev_p = _pad_to(F_up_prev, s_pad)
+
+    lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    int_spec = pl.BlockSpec((L + 1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+
+    fdown, fup = pl.pallas_call(
+        partial(_iso_sweep_kernel, nlayer=L, n_passes=n_passes),
+        grid=(n_tiles,),
+        in_specs=[lay_spec, lay_spec, lay_spec, lay_spec,
+                  row_spec, row_spec, row_spec, row_spec, int_spec],
+        out_specs=(int_spec, int_spec),
+        out_shape=(jax.ShapeDtypeStruct((L + 1, s_pad), dtype),
+                   jax.ShapeDtypeStruct((L + 1, s_pad), dtype)),
+        interpret=_use_interpret(),
+    )(a_p, b_p, sd_p, su_p, toa_p, refl_p, emis_p, fdir0_p, fup_prev_p)
+
+    return fdown[:, :S], fup[:, :S]
+
+
+def fband_iso_pallas(cells, planckband_lay, F_dir, surf_albedo, F_up_prev,
+                     *, n_passes: int, scat_corr: int, i2s_transition: float,
+                     epsi: float, mu_star: float, dir_beam: int,
+                     f_factor: float, R_star: float, a: float):
+    """Drop-in replacement for ops.sweep.fband_iso using the fused kernel.
+
+    Same signature/semantics; inputs [L, B, Y], outputs [L+1, B, Y].
+    """
+    from helios_tpu.ops import sweep as sweep_ops
+
+    C = sweep_ops.iso_sweep_coeffs(
+        cells, planckband_lay, F_dir, surf_albedo, scat_corr=scat_corr,
+        i2s_transition=i2s_transition, epsi=epsi, mu_star=mu_star,
+        dir_beam=dir_beam, f_factor=f_factor, R_star=R_star, a=a)
+
+    L, B, Y = C.a.shape
+    S = B * Y
+    flat = lambda x: x.reshape(x.shape[:-2] + (S,))
+    toa = jnp.broadcast_to(C.toa[:, None], (B, Y)).reshape(S)
+    refl = jnp.broadcast_to(C.boa_refl[:, None], (B, Y)).reshape(S)
+    emis = C.boa_emis.reshape(S)
+    fdir0 = F_dir[0].reshape(S)
+
+    fdown, fup = fused_iso_sweep(
+        flat(C.a), flat(C.b_nm), flat(C.src_down), flat(C.src_up),
+        toa.astype(C.a.dtype), refl.astype(C.a.dtype),
+        emis.astype(C.a.dtype), fdir0.astype(C.a.dtype),
+        flat(F_up_prev), n_passes=n_passes)
+
+    return fdown.reshape(L + 1, B, Y), fup.reshape(L + 1, B, Y)

@@ -64,6 +64,11 @@ def _G_pm(w0, g0, epsi, epsi2, mu_star, scat_corr: int, i2s_transition,
     E = E_maybe(w0, g0, scat_corr, i2s_transition)
     num = w0 * (E * (1.0 - w0 * g0) + g0 * epsi / epsi2)
     denom = E * epsi ** -2.0 * (E - w0) * (1.0 - w0 * g0) - mu_star ** -2.0
+    # the direct-beam resonance denominator can round to exactly zero
+    # (guaranteed in fp32 for w0 -> 0 with the default mu* = -0.5); the
+    # reference relies on G_limiter for the blow-up -- a sign-preserving
+    # floor keeps 0/0 out and hands large values to the limiter
+    denom = jnp.where(denom == 0.0, 1e-30, denom)
     second = 1.0 / epsi + sign * 1.0 / (mu_star * E * (1.0 - w0 * g0))
     third = epsi * w0 * g0 * mu_star / (epsi2 * E * (1.0 - w0 * g0))
     return 0.5 * (num / denom * second + sign * third)

@@ -1,0 +1,204 @@
+"""ktable pipeline tests: k-distribution construction (native vs numpy vs
+statistical properties), table combination, and the end-to-end loop
+HELIOS-K files -> mixed table -> forward solver."""
+
+import os
+
+import numpy as np
+import pytest
+
+from helios_tpu.ktable import build as kb
+from helios_tpu.ktable import combine as kc
+from helios_tpu.ktable import continuous, rayleigh
+
+
+# --------------------------------------------------------------------------- #
+# k-distribution core
+# --------------------------------------------------------------------------- #
+
+def test_kdistribution_is_sorted_quantile_function():
+    """The k-distribution is the quantile function of kappa within a bin:
+    ascending in y, and reproducing the correct fraction below a level."""
+    rng = np.random.default_rng(0)
+    n = 4000
+    lam = np.linspace(1.0e-4, 1.1e-4, n)
+    opac = 10.0 ** rng.normal(-1.0, 1.0, n)
+    y, _ = __import__("helios_tpu.io.opacity",
+                      fromlist=["gauss_legendre_ypoints"]
+                      ).gauss_legendre_ypoints(20)
+    k = kb.kdistribution_bin(lam, opac, lam[0], lam[-1] + (lam[1] - lam[0]),
+                             lam[-1] - lam[0] + (lam[1] - lam[0]), y)
+    assert np.all(np.diff(k) >= 0)
+    # median of the k-distribution ~ median of the samples
+    med = np.interp(0.5, y, k)
+    assert med == pytest.approx(np.median(opac), rel=0.1)
+    # high quantile
+    q9 = np.interp(0.9, y, k)
+    assert q9 == pytest.approx(np.quantile(opac, 0.9), rel=0.15)
+
+
+def test_kdistribution_native_matches_numpy():
+    rng = np.random.default_rng(3)
+    n_hk = 5000
+    lam_hk = np.sort(rng.uniform(1e-4, 1e-3, n_hk))
+    opac = 10.0 ** rng.uniform(-6, 1, n_hk)
+    edges = np.geomspace(1e-4, 1e-3, 25)
+    dlam = np.diff(edges)
+    from helios_tpu.io.opacity import gauss_legendre_ypoints
+    y, _ = gauss_legendre_ypoints(20)
+
+    want = kb.kdistribution_for_one_TP(lam_hk, opac, edges, dlam, y,
+                                       use_native=False)
+    from helios_tpu.ktable.native import kdistr_native
+    got = kdistr_native(lam_hk, opac, edges, dlam, y)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_bilinear_native_matches_numpy():
+    rng = np.random.default_rng(5)
+    values = rng.uniform(0.1, 10.0, (6, 5, 4, 3))
+    t_old = np.linspace(100, 4000, 6)
+    p_old = np.logspace(0, 8, 5)
+    t_new = np.linspace(50, 4500, 13)
+    p_new = np.logspace(-1, 9, 9)
+
+    from helios_tpu.ktable import native as kn
+    got = kn.bilinear_tp_native(values, t_old, p_old, t_new, p_new)
+
+    # numpy fallback path (force by bypassing native)
+    import helios_tpu.ktable.combine as kcm
+    import unittest.mock as mock
+    with mock.patch.object(kn, "bilinear_tp_native",
+                           side_effect=RuntimeError):
+        want = kcm.interpolate_tp_grid(values, t_old, p_old, t_new, p_new)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+# --------------------------------------------------------------------------- #
+# Rayleigh + continuum sanity
+# --------------------------------------------------------------------------- #
+
+def test_rayleigh_h2_magnitude_and_slope():
+    lam = np.array([3.5e-5, 7e-5])  # 350, 700 nm
+    sig = rayleigh.species_cross_section("H2", lam)
+    # lambda^-4 scaling (up to the weak index dispersion)
+    assert sig[0] / sig[1] == pytest.approx(16.0, rel=0.2)
+    assert 1e-27 < sig[0] < 1e-25       # ~1e-26 cm^2 at 350 nm
+
+def test_rayleigh_electron_is_thomson():
+    from helios_tpu import constants as pc
+    sig = rayleigh.species_cross_section("e-", np.array([5e-5]))
+    assert sig[0] == pc.SIGMA_T
+
+
+def test_h_minus_bound_free_band():
+    lam = np.array([0.1e-4, 0.8e-4, 1.6e-4, 1.7e-4])
+    sig = continuous.h_min_bf_cross_sect(lam)
+    assert sig[0] == 0.0 and sig[3] == 0.0      # outside 0.125-1.6419 um
+    assert sig[1] > 0 and sig[2] > 0
+    # John (1988) peak cross-section is a few 1e-17 cm^2
+    fine = continuous.h_min_bf_cross_sect(np.geomspace(0.2e-4, 1.6e-4, 200))
+    assert 1e-17 < fine.max() < 1e-16
+
+
+def test_he_minus_table_lookup():
+    # inside table: value close to tabulated point (T=5040/1.0, lam=0.5063)
+    k = continuous.he_min_log_k(5040.0, np.log10(0.5063))
+    assert k == pytest.approx(np.log10(0.072e-26), abs=0.3)
+    # outside wavelength range -> -30 fill
+    assert continuous.he_min_log_k(3000.0, np.log10(300.0)) == -30.0
+
+
+# --------------------------------------------------------------------------- #
+# end-to-end: fake HELIOS-K directory -> mixed table -> solver
+# --------------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def heliosk_dir(tmp_path_factory):
+    """Synthetic HELIOS-K output: 2 wavenumber chunks x 3 T x 4 P binary
+    files with a known spectral shape."""
+    d = tmp_path_factory.mktemp("hk")
+    rng = np.random.default_rng(9)
+    res = 1.0                      # cm^-1 resolution
+    chunks = [(1000, 11000), (11000, 21000)]
+    temps = [500, 1000, 2000]
+    codes = ["n600", "n300", "p000", "p300"]
+    for t in temps:
+        for c in codes:
+            for (n0, n1) in chunks:
+                nu = np.arange(n0, n1, res)
+                base = 1e-3 * (1 + 10 * np.exp(-0.5 * ((nu - 5000) / 800) ** 2))
+                opac = base * (t / 1000.0) ** 0.3 * (
+                    kb.PRESS_DICT[c] / 1e6) ** 0.1
+                opac *= 10.0 ** rng.uniform(-1, 1, len(nu))
+                fn = f"Out_{n0:05d}_{n1:05d}_{t:05d}_{c}.bin"
+                opac.astype(np.float32).tofile(os.path.join(str(d), fn))
+    return str(d)
+
+
+def test_stage1_build(heliosk_dir, tmp_path):
+    cfg = kb.BuildConfig(grid_limits=(0.6, 8.0), resolution=20, n_gauss=20,
+                         output_dir=str(tmp_path) + "/")
+    path = kb.build_species(cfg, "FAKE", heliosk_dir)
+    import h5py
+    with h5py.File(path) as f:
+        k = np.asarray(f["kpoints"])
+        y = np.asarray(f["ypoints"])
+        lam = np.asarray(f["center wavelengths"])
+        temps = np.asarray(f["temperatures"])
+        press = np.asarray(f["pressures"])
+    assert len(temps) == 3 and len(press) == 4
+    nbin, ny = len(lam), len(y)
+    k = k.reshape(len(temps), len(press), nbin, ny)
+    assert np.all(k > 0)
+    # ascending k-distributions within each bin
+    assert np.all(np.diff(k, axis=-1) >= 0)
+    # opacity grows with T (the synthetic T-dependence)
+    assert np.median(k[2] / k[0]) == pytest.approx((2000 / 500) ** 0.3,
+                                                   rel=0.1)
+
+
+def test_stage2_combine_and_solve(heliosk_dir, tmp_path):
+    """Full loop: build two species, combine with constant VMRs, load the
+    mixed file into the solver, and run a forward pass."""
+    out = str(tmp_path) + "/"
+    cfg = kb.BuildConfig(grid_limits=(0.6, 8.0), resolution=20, n_gauss=20,
+                         output_dir=out)
+    kb.build_species(cfg, "H2O", heliosk_dir)
+    kb.build_species(cfg, "CO", heliosk_dir)
+
+    comb = kc.Combiner(individual_dir=out, final_dir=out)
+    species = [kc.MixSpecies("H2O", True, True, "3e-4"),
+               kc.MixSpecies("CO", True, False, "1e-4"),
+               kc.MixSpecies("H2", False, True, "0.9"),
+               kc.MixSpecies("He", False, True, "0.1")]
+    comb.combine_all(species)
+
+    mixed = os.path.join(out, "mixed_opac_kdistr.h5")
+    assert os.path.exists(mixed)
+
+    from helios_tpu.io.opacity import load_opacity_file
+    table = load_opacity_file(mixed)
+    assert table.ny == 20 and table.nbin == comb.nx
+    assert table.meanmolmass is not None
+    # mu ~ VMR-weighted weight of the four species
+    w = (3e-4 * 18.0153 + 1e-4 * 28.01 + 0.9 * 2.01588 + 0.1 * 4.0026) \
+        / (3e-4 + 1e-4 + 0.9 + 0.1)
+    from helios_tpu import constants as pc
+    np.testing.assert_allclose(table.meanmolmass[0, 0], w * pc.AMU,
+                               rtol=1e-6)
+
+    from helios_tpu.config import HeliosConfig
+    from helios_tpu.forward import build_model, forward_fluxes
+    import jax.numpy as jnp
+    cfg2 = HeliosConfig(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                        R_star=1.0, T_star=4000.0, T_intern=100.0,
+                        scattering="yes", direct_beam="no",
+                        convection="no", run_type="iterative",
+                        iso_input="yes", nlayer=8, p_boa=1e8,
+                        p_toa=1e3).finalize()
+    phys, arrays = build_model(cfg2, table)
+    T = jnp.linspace(1500.0, 700.0, 9)
+    _, totals, _ = forward_fluxes(phys, arrays, T)
+    assert bool(jnp.all(jnp.isfinite(totals.F_net)))
+    assert float(totals.F_up_tot[-1]) > 0
