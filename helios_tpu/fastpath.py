@@ -1,0 +1,372 @@
+"""Flat-layout fast path: the per-iteration compute pipeline on [.., S]
+arrays, S = nbin * ny.
+
+On TPU, arrays tile their last two logical dimensions onto (sublane, lane)
+= (8, 128) vector registers; with the reference-shaped [layer, bin, y]
+arrays the y axis (20 points) sits in the 128-wide lane dimension, wasting
+84% of every vector op.  Flattening the spectral axes to S = bin*y and
+keeping the whole hot path in that layout is worth ~20x on the sweep
+(measured: 0.82 ms -> 0.036 ms per 4-pass solve at 105x385x20 fp32).
+
+The modules in ops/ keep the reference-shaped [L, B, Y] implementations --
+they are the tested oracle; everything here is verified against them.
+Ordering: s = b * ny + y (bin-major), so a contiguous shard of S is a
+contiguous run of wavelength bins.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from helios_tpu import constants as pc
+from helios_tpu.ops.twostream import (E_maybe, G_limiter, _G_pm,
+                                      single_scat_albedo, trans_func,
+                                      zeta_minus, zeta_plus)
+
+
+def band_to_flat(x_band, ny: int):
+    """[.., B] -> [.., B*ny] repeating each band value over its y-points."""
+    return jnp.repeat(x_band, ny, axis=-1)
+
+
+def cube_to_flat(x):
+    """[.., B, Y] -> [.., B*Y]."""
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def flat_to_cube(x, ny: int):
+    """[.., S] -> [.., B, Y]."""
+    return x.reshape(x.shape[:-1] + (x.shape[-1] // ny, ny))
+
+
+class FlatCells(NamedTuple):
+    """Per-cell two-stream quantities, flat layout [L, S]."""
+    w0: jnp.ndarray
+    delta_tau: jnp.ndarray         # gas-only optical depth
+    delta_tau_total: jnp.ndarray   # gas + clouds
+    trans: jnp.ndarray
+    M: jnp.ndarray
+    N: jnp.ndarray
+    P: jnp.ndarray
+    G_pl: jnp.ndarray
+    G_min: jnp.ndarray
+    g0: jnp.ndarray                # effective asymmetry, flat
+
+
+def cell_quantities_flat(opac_flat, meanmolmass, ray_band, cloud_abs_band,
+                         cloud_scat_band, delta_colmass, g0_band, ny, *,
+                         epsi, epsi2, mu_star, w_0_limit, scat_corr,
+                         i2s_transition) -> FlatCells:
+    """Flat-layout calc_trans cell quantities (ops.twostream
+    ._cell_quantities math; kernels.cu:1015-1104).
+
+    opac_flat: [L, S]; per-band inputs [L, B]; delta_colmass/meanmolmass
+    [L]; returns FlatCells with [L, S] members.
+    """
+    mmm = meanmolmass[:, None]
+    dcm = delta_colmass[:, None]
+
+    scat_tot = band_to_flat(ray_band + cloud_scat_band, ny)
+    cloud_abs = band_to_flat(cloud_abs_band, ny)
+    abs_tot = opac_flat * mmm + cloud_abs
+    w0 = single_scat_albedo(scat_tot, abs_tot, w_0_limit)
+
+    delta_tau = dcm * (opac_flat + band_to_flat(ray_band, ny) / mmm)
+    delta_tau_clouds = (dcm * band_to_flat(
+        cloud_abs_band + cloud_scat_band, ny) / mmm)
+    del_tau = delta_tau + delta_tau_clouds
+
+    g0 = band_to_flat(g0_band, ny)
+    trans = trans_func(epsi, del_tau, w0, g0, scat_corr, i2s_transition)
+    zm = zeta_minus(w0, g0, scat_corr, i2s_transition)
+    zp = zeta_plus(w0, g0, scat_corr, i2s_transition)
+
+    M = zm * zm * trans * trans - zp * zp
+    N = zp * zm * (1.0 - trans * trans)
+    P = (zm * zm - zp * zp) * trans
+
+    G_pl = G_limiter(_G_pm(w0, g0, epsi, epsi2, mu_star, scat_corr,
+                           i2s_transition, +1.0))
+    G_min = G_limiter(_G_pm(w0, g0, epsi, epsi2, mu_star, scat_corr,
+                            i2s_transition, -1.0))
+
+    return FlatCells(w0=w0, delta_tau=delta_tau, delta_tau_total=del_tau,
+                     trans=trans, M=M, N=N, P=P, G_pl=G_pl, G_min=G_min,
+                     g0=g0)
+
+
+# --------------------------------------------------------------------------- #
+# direct beam
+# --------------------------------------------------------------------------- #
+
+def fdir_iso_flat(planck_star_flat, delta_tau_tot, mu_weights, *,
+                  mu_star, R_star, a, dir_beam):
+    """Flat direct beam: F_dir [I, S] (ops.beam.fdir_iso math).
+
+    mu_weights: [I, L] masked 1/mu matrix (from ops.beam._mu_star_matrix
+    logic, computed by the caller)."""
+    I_dir = (R_star / a) ** 2 * pc.PI * planck_star_flat   # [S]
+    expo = jnp.einsum("il,ls->is", mu_weights, delta_tau_tot,
+                      preferred_element_type=delta_tau_tot.dtype)
+    F0 = -dir_beam * mu_star * I_dir
+    return F0[None, :] * jnp.exp(expo)
+
+
+def fdir_noniso_flat(planck_star_flat, dtau_up, dtau_low, mu_weights,
+                     mu_diag, *, mu_star, R_star, a, dir_beam):
+    """Flat non-isothermal beam: (F_dir [I,S], Fc_dir [L,S])."""
+    I_dir = (R_star / a) ** 2 * pc.PI * planck_star_flat
+    dtau_full = dtau_up + dtau_low
+    F0 = -dir_beam * mu_star * I_dir
+    expo_full = jnp.einsum("il,ls->is", mu_weights, dtau_full,
+                           preferred_element_type=dtau_full.dtype)
+    F_dir = F0[None, :] * jnp.exp(expo_full)
+
+    L = dtau_up.shape[0]
+    mask_gt = (jnp.arange(L)[None, :] > jnp.arange(L)[:, None])
+    W_above = jnp.where(mask_gt, mu_weights[:L], 0.0)
+    expo_c = (jnp.einsum("il,ls->is", W_above, dtau_full,
+                         preferred_element_type=dtau_full.dtype)
+              + dtau_up / mu_diag[:, None])
+    Fc_dir = F0[None, :] * jnp.exp(expo_c)
+    return F_dir, Fc_dir
+
+
+# --------------------------------------------------------------------------- #
+# iterative sweeps (flat)
+# --------------------------------------------------------------------------- #
+
+class FlatIsoCoeffs(NamedTuple):
+    a: jnp.ndarray          # P/M        [L, S]
+    b_nm: jnp.ndarray       # -N/M       [L, S]
+    src_down: jnp.ndarray   # [L, S]
+    src_up: jnp.ndarray     # [L, S]
+    boa_refl: jnp.ndarray   # [S]
+    boa_emis: jnp.ndarray   # [S]
+    toa: jnp.ndarray        # [S]
+
+
+def iso_sweep_coeffs_flat(cells: FlatCells, planck_lay_flat,
+                          planck_star_flat, planck_surf_flat, F_dir,
+                          surf_albedo_flat, *, scat_corr, i2s_transition,
+                          epsi, mu_star, dir_beam, f_factor, R_star, a
+                          ) -> FlatIsoCoeffs:
+    """Flat iso sweep coefficients (ops.sweep.iso_sweep_coeffs math)."""
+    w0, M, N, P = cells.w0, cells.M, cells.N, cells.P
+    G_pl, G_min = cells.G_pl, cells.G_min
+    E = E_maybe(w0, cells.g0, scat_corr, i2s_transition)
+
+    planck = (2.0 * pc.PI * epsi * (1.0 - w0) / (E - w0) * planck_lay_flat
+              * (N + M - P))
+    inv_neg_mu = 1.0 / (-mu_star)
+    Fd_top, Fd_bot = F_dir[1:], F_dir[:-1]
+    dir_down = jnp.minimum(
+        0.0, Fd_bot * inv_neg_mu * (G_min * M + G_pl * N)
+        - Fd_top * inv_neg_mu * P * G_min)
+    dir_up = jnp.minimum(
+        0.0, Fd_top * inv_neg_mu * (G_min * N + G_pl * M)
+        - Fd_bot * inv_neg_mu * P * G_pl)
+
+    boa_emis = ((1.0 - surf_albedo_flat) * pc.PI
+                * (1.0 - w0[0]) / (E[0] - w0[0]) * planck_surf_flat)
+    toa = ((1.0 - dir_beam) * f_factor * (R_star / a) ** 2 * pc.PI
+           * planck_star_flat)
+
+    return FlatIsoCoeffs(a=P / M, b_nm=-N / M,
+                         src_down=(planck + dir_down) / M,
+                         src_up=(planck + dir_up) / M,
+                         boa_refl=surf_albedo_flat, boa_emis=boa_emis,
+                         toa=toa)
+
+
+def fband_iso_flat(C: FlatIsoCoeffs, F_dir0, F_up_prev, *, n_passes: int,
+                   use_pallas: bool):
+    """Iterative iso solve on flat arrays; returns (F_down, F_up) [I, S]."""
+    if use_pallas:
+        from helios_tpu.kernels.sweep_pallas import fused_iso_sweep
+        return fused_iso_sweep(C.a, C.b_nm, C.src_down, C.src_up, C.toa,
+                               C.boa_refl, C.boa_emis, F_dir0, F_up_prev,
+                               n_passes=n_passes)
+
+    toa = jnp.broadcast_to(C.toa, F_up_prev.shape[1:]).astype(
+        F_up_prev.dtype)
+
+    def one_pass(_, FdFu):
+        _, F_up = FdFu
+
+        def dstep(carry, xs):
+            a_i, bn_i, s_i, fu_i = xs
+            f = a_i * carry + bn_i * fu_i + s_i
+            return f, f
+
+        _, downs = jax.lax.scan(
+            dstep, toa,
+            (C.a[::-1], C.b_nm[::-1], C.src_down[::-1], F_up[:-1][::-1]))
+        F_down = jnp.concatenate([downs[::-1], toa[None]], axis=0)
+
+        boa = C.boa_refl * (F_dir0 + F_down[0]) + C.boa_emis
+
+        def ustep(carry, xs):
+            a_i, bn_i, s_i, fd_i = xs
+            f = a_i * carry + bn_i * fd_i + s_i
+            return f, f
+
+        _, ups = jax.lax.scan(ustep, boa, (C.a, C.b_nm, C.src_up,
+                                           F_down[1:]))
+        F_up_new = jnp.concatenate([boa[None], ups], axis=0)
+        return F_down, F_up_new
+
+    F_down0 = jnp.zeros_like(F_up_prev)
+    return jax.lax.fori_loop(0, n_passes, one_pass, (F_down0, F_up_prev))
+
+
+class FlatNonIsoCoeffs(NamedTuple):
+    a_up: jnp.ndarray
+    b_up: jnp.ndarray
+    src_up_down: jnp.ndarray
+    src_up_up: jnp.ndarray
+    a_low: jnp.ndarray
+    b_low: jnp.ndarray
+    src_low_down: jnp.ndarray
+    src_low_up: jnp.ndarray
+    boa_refl: jnp.ndarray
+    boa_emis: jnp.ndarray
+    toa: jnp.ndarray
+
+
+def _noniso_planck_terms_flat(Bt, Bb, M, N, P, del_tau, epsi, E, w0, g0,
+                              delta_tau_limit, up_direction: bool):
+    """ops.sweep._noniso_planck_terms on flat arrays."""
+    iso_term = 0.5 * (Bt + Bb) * (N + M - P)
+    grad = (Bt - Bb) / jnp.maximum(del_tau, 1e-30)
+    if up_direction:
+        noniso = (Bt * (M + N) - Bb * P
+                  + epsi / (E * (1.0 - w0 * g0)) * (M - N - P) * (-grad))
+    else:
+        noniso = (Bt * (M + N) - Bb * P
+                  + epsi / (E * (1.0 - w0 * g0)) * (P - M + N) * grad)
+    return jnp.where(del_tau < delta_tau_limit, iso_term, noniso)
+
+
+def noniso_sweep_coeffs_flat(upper: FlatCells, lower: FlatCells,
+                             B_lay, B_int_below, B_int_above, B_star,
+                             B_surf, F_dir, Fc_dir, surf_albedo_flat, *,
+                             scat_corr, i2s_transition, epsi, mu_star,
+                             dir_beam, f_factor, R_star, a,
+                             delta_tau_limit) -> FlatNonIsoCoeffs:
+    """Flat non-iso sweep coefficients (ops.sweep.noniso_sweep_coeffs
+    math).  All Planck inputs pre-flattened [L, S] (or [S] for star/surf).
+    """
+    inv_neg_mu = 1.0 / (-mu_star)
+    out = {}
+    for half, cells in (("up", upper), ("low", lower)):
+        w0, M, N, P = cells.w0, cells.M, cells.N, cells.P
+        G_pl, G_min = cells.G_pl, cells.G_min
+        E = E_maybe(w0, cells.g0, scat_corr, i2s_transition)
+        del_tau = cells.delta_tau_total
+        pref = 2.0 * pc.PI * epsi * (1.0 - w0) / (E - w0)
+
+        if half == "up":
+            pl_down = _noniso_planck_terms_flat(
+                B_lay, B_int_above, M, N, P, del_tau, epsi, E, w0,
+                cells.g0, delta_tau_limit, False)
+            pl_up = _noniso_planck_terms_flat(
+                B_int_above, B_lay, M, N, P, del_tau, epsi, E, w0,
+                cells.g0, delta_tau_limit, True)
+            dir_down = jnp.minimum(
+                0.0, Fc_dir * inv_neg_mu * (G_min * M + G_pl * N)
+                - F_dir[1:] * inv_neg_mu * G_min * P)
+            dir_up = jnp.minimum(
+                0.0, F_dir[1:] * inv_neg_mu * (G_min * N + G_pl * M)
+                - Fc_dir * inv_neg_mu * P * G_pl)
+        else:
+            pl_down = _noniso_planck_terms_flat(
+                B_int_below, B_lay, M, N, P, del_tau, epsi, E, w0,
+                cells.g0, delta_tau_limit, False)
+            pl_up = _noniso_planck_terms_flat(
+                B_lay, B_int_below, M, N, P, del_tau, epsi, E, w0,
+                cells.g0, delta_tau_limit, True)
+            dir_down = jnp.minimum(
+                0.0, F_dir[:-1] * inv_neg_mu * (G_min * M + G_pl * N)
+                - Fc_dir * inv_neg_mu * P * G_min)
+            dir_up = jnp.minimum(
+                0.0, Fc_dir * inv_neg_mu * (G_min * N + G_pl * M)
+                - F_dir[:-1] * inv_neg_mu * P * G_pl)
+            w0_0, E_0 = w0[0], E[0]
+
+        out[f"a_{half}"] = P / M
+        out[f"b_{half}"] = -N / M
+        out[f"src_{half}_down"] = (pref * pl_down + dir_down) / M
+        out[f"src_{half}_up"] = (pref * pl_up + dir_up) / M
+
+    boa_emis = ((1.0 - surf_albedo_flat) * pc.PI
+                * (1.0 - w0_0) / (E_0 - w0_0) * B_surf)
+    toa = ((1.0 - dir_beam) * f_factor * (R_star / a) ** 2 * pc.PI
+           * B_star)
+    return FlatNonIsoCoeffs(
+        a_up=out["a_up"], b_up=out["b_up"],
+        src_up_down=out["src_up_down"], src_up_up=out["src_up_up"],
+        a_low=out["a_low"], b_low=out["b_low"],
+        src_low_down=out["src_low_down"], src_low_up=out["src_low_up"],
+        boa_refl=surf_albedo_flat, boa_emis=boa_emis, toa=toa)
+
+
+def fband_noniso_flat(C: FlatNonIsoCoeffs, F_dir0, F_up_prev, Fc_up_prev,
+                      *, n_passes: int):
+    """Iterative non-iso solve (flat); returns (F_down, F_up, Fc_down,
+    Fc_up)."""
+    toa = jnp.broadcast_to(C.toa, F_up_prev.shape[1:]).astype(
+        F_up_prev.dtype)
+
+    def down_pass(F_up, Fc_up):
+        def step(carry, xs):
+            a_up, b_up, s_ud, a_low, b_low, s_ld, fcu, fu = xs
+            fc_down = a_up * carry + b_up * fcu + s_ud
+            f_down = a_low * fc_down + b_low * fu + s_ld
+            return f_down, (f_down, fc_down)
+
+        xs = tuple(arr[::-1] for arr in (
+            C.a_up, C.b_up, C.src_up_down, C.a_low, C.b_low,
+            C.src_low_down, Fc_up, F_up[:-1]))
+        _, (downs, fc_downs) = jax.lax.scan(step, toa, xs)
+        return (jnp.concatenate([downs[::-1], toa[None]], axis=0),
+                fc_downs[::-1])
+
+    def up_pass(F_down, Fc_down):
+        boa = C.boa_refl * (F_dir0 + F_down[0]) + C.boa_emis
+
+        def step(carry, xs):
+            a_low, b_low, s_lu, a_up, b_up, s_uu, fcd, fd_above = xs
+            fc_up = a_low * carry + b_low * fcd + s_lu
+            f_up = a_up * fc_up + b_up * fd_above + s_uu
+            return f_up, (f_up, fc_up)
+
+        xs = (C.a_low, C.b_low, C.src_low_up, C.a_up, C.b_up, C.src_up_up,
+              Fc_down, F_down[1:])
+        _, (ups, fc_ups) = jax.lax.scan(step, boa, xs)
+        return jnp.concatenate([boa[None], ups], axis=0), fc_ups
+
+    def one_pass(_, state):
+        F_down, F_up, Fc_down, Fc_up = state
+        F_down, Fc_down = down_pass(F_up, Fc_up)
+        F_up, Fc_up = up_pass(F_down, Fc_down)
+        return F_down, F_up, Fc_down, Fc_up
+
+    F_down0 = jnp.zeros_like(F_up_prev)
+    Fc_down0 = jnp.zeros_like(Fc_up_prev)
+    return jax.lax.fori_loop(0, n_passes, one_pass,
+                             (F_down0, F_up_prev, Fc_down0, Fc_up_prev))
+
+
+# --------------------------------------------------------------------------- #
+# spectral integration (flat)
+# --------------------------------------------------------------------------- #
+
+def gauss_band_flat(f_flat, gauss_weight):
+    """[.., S] -> [.., B]: 0.5 * sum_y w_y f."""
+    ny = gauss_weight.shape[0]
+    return 0.5 * jnp.einsum("...by,y->...b", flat_to_cube(f_flat, ny),
+                            gauss_weight)

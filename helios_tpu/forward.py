@@ -94,7 +94,10 @@ class Phys:
             return True
         if self.use_pallas == "no":
             return False
-        return jax.default_backend() == "tpu"
+        # auto: off -- the flat-layout lax.scan path matches the fused
+        # Pallas kernel's throughput (both ~22G cells/s), and Mosaic's
+        # lowering currently recurses on int64 converts under x64
+        return False
 
     @property
     def ninterface(self) -> int:
@@ -158,8 +161,8 @@ class ModelArrays(NamedTuple):
     delta_colmass: jnp.ndarray
     delta_col_upper: jnp.ndarray
     delta_col_lower: jnp.ndarray
-    # opacity table
-    ktable: jnp.ndarray            # [ntemp, npress, B, Y]
+    # opacity table (flat spectral layout for lane-friendly gathers)
+    ktable: jnp.ndarray            # [ntemp, npress, S]
     scat_cross_table: jnp.ndarray  # [ntemp, npress, B]
     meanmolmass_table: jnp.ndarray  # [ntemp, npress]
     ktemps: jnp.ndarray
@@ -187,36 +190,36 @@ class ModelArrays(NamedTuple):
 
 class FluxState(NamedTuple):
     """Fluxes carried across RCE iterations (the reference's persistent
-    device arrays)."""
-    F_down: jnp.ndarray   # [I, B, Y]
-    F_up: jnp.ndarray     # [I, B, Y]
-    Fc_down: jnp.ndarray  # [L, B, Y] (noniso only; zeros otherwise)
-    Fc_up: jnp.ndarray    # [L, B, Y]
+    device arrays).  Flat spectral layout: [.., S], S = nbin * ny."""
+    F_down: jnp.ndarray   # [I, S]
+    F_up: jnp.ndarray     # [I, S]
+    Fc_down: jnp.ndarray  # [L, S] (noniso only; zeros otherwise)
+    Fc_up: jnp.ndarray    # [L, S]
 
 
 class CellCache(NamedTuple):
     """Per-cell quantities refreshed every 10th iteration
     (reference computation.py:860-879)."""
-    cells_or_upper: ts_ops.CellQuantities
-    lower: ts_ops.CellQuantities      # == upper placeholder when iso
-    scat_trigger: jnp.ndarray         # [B, Y] bool
-    F_dir: jnp.ndarray                # [I, B, Y]
-    Fc_dir: jnp.ndarray               # [L, B, Y]
+    cells_or_upper: "fp.FlatCells"    # flat [L, S] layout, S = B*Y
+    lower: "fp.FlatCells"             # == upper placeholder when iso
+    scat_trigger: jnp.ndarray         # [S] bool
+    F_dir: jnp.ndarray                # [I, S]
+    Fc_dir: jnp.ndarray               # [L, S]
     meanmolmass_lay: jnp.ndarray      # [L]
     z_lay: jnp.ndarray                # [L]
-    opac_lay: jnp.ndarray             # [L, B, Y] (diagnostics/mean opac)
+    opac_lay: jnp.ndarray             # [L, S] (diagnostics/mean opac)
     scat_cross_lay: jnp.ndarray       # [L, B]
     F_add_heat_lay: jnp.ndarray       # [L]  add_heat_dens * delta_z
     F_add_heat_sum: jnp.ndarray       # [L]  cumulative sum
 
 
 def init_flux_state(phys: Phys, dtype) -> FluxState:
-    L, B, Y = phys.nlayer, phys.nbin, phys.ny
+    L, S = phys.nlayer, phys.nbin * phys.ny
     return FluxState(
-        F_down=jnp.zeros((L + 1, B, Y), dtype),
-        F_up=jnp.zeros((L + 1, B, Y), dtype),
-        Fc_down=jnp.zeros((L, B, Y), dtype),
-        Fc_up=jnp.zeros((L, B, Y), dtype))
+        F_down=jnp.zeros((L + 1, S), dtype),
+        F_up=jnp.zeros((L + 1, S), dtype),
+        Fc_down=jnp.zeros((L, S), dtype),
+        Fc_up=jnp.zeros((L, S), dtype))
 
 
 def build_model(cfg: HeliosConfig, table: OpacityTable,
@@ -276,7 +279,8 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
         delta_colmass=jnp.asarray(g.delta_colmass, dt),
         delta_col_upper=jnp.asarray(g.delta_col_upper, dt),
         delta_col_lower=jnp.asarray(g.delta_col_lower, dt),
-        ktable=jnp.asarray(kpoints, dt),
+        ktable=jnp.asarray(
+            kpoints.reshape(kpoints.shape[0], kpoints.shape[1], -1), dt),
         scat_cross_table=jnp.asarray(scat_tab, dt),
         meanmolmass_table=jnp.asarray(mmm_tab, dt),
         ktemps=jnp.asarray(table.temperatures, dt),
@@ -351,65 +355,113 @@ def _gas_properties(phys: Phys, m: ModelArrays, T, p, sset):
     return opac, scat, mmm
 
 
+def _effective_g0(phys: Phys, m: ModelArrays, scat_band, cloud_scat,
+                  g0_cloud, n):
+    if phys.clouds:
+        return ts_ops.g0_total(scat_band, g0_cloud, cloud_scat, phys.g_0)
+    return jnp.full(scat_band.shape, phys.g_0, scat_band.dtype)
+
+
 def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
                   sset=None) -> CellCache:
     """Opacity interpolation + transmission + direct beam: the block the
-    reference refreshes every 10th iteration (computation.py:860-879)."""
-    L = phys.nlayer
+    reference refreshes every 10th iteration (computation.py:860-879).
+
+    All spectral outputs are in the flat [.., S] layout (see fastpath).
+    """
+    from helios_tpu import fastpath as fp
+
+    L, Y = phys.nlayer, phys.ny
 
     opac_lay, scat_lay, mmm_lay = _gas_properties(
         phys, m, T_lay[:L], m.p_lay, sset)
-
-    if phys.clouds:
-        g0_lay = ts_ops.g0_total(scat_lay, m.g_0_cloud_lay,
-                                 m.cloud_scat_cross_lay, phys.g_0)
-    else:
-        g0_lay = jnp.zeros_like(scat_lay)
+    if opac_lay.ndim == 3:        # on-the-fly mixing returns [L, B, Y]
+        opac_lay = fp.cube_to_flat(opac_lay)
 
     delta_z, z_lay = altitude_z(phys, m, T_lay, mmm_lay)
-
-    kw = dict(g_0=phys.g_0, epsi=phys.epsi, epsi2=phys.epsi2,
-              mu_star=phys.mu_star, w_0_limit=phys.w_0_limit,
-              w_0_scat_limit=phys.w_0_scat_limit, scat=phys.scat,
-              clouds=phys.clouds, scat_corr=phys.scat_corr,
-              i2s_transition=phys.i2s_transition)
 
     planckband_lay = planck_mod.planckband_layers(
         m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
         dim=phys.plancktable_dim, step=phys.plancktable_step)
+    planck_star_flat = fp.band_to_flat(planckband_lay[L], Y)
+
+    # scattering on/off (kernels.cu scat flag): zero the cross sections
+    if phys.scat:
+        ray_lay = scat_lay
+        cld_scat_lay = m.cloud_scat_cross_lay
+        cld_scat_int = m.cloud_scat_cross_int
+    else:
+        ray_lay = jnp.zeros_like(scat_lay)
+        cld_scat_lay = jnp.zeros_like(m.cloud_scat_cross_lay)
+        cld_scat_int = jnp.zeros_like(m.cloud_scat_cross_int)
+
+    g0_lay = _effective_g0(phys, m, scat_lay, m.cloud_scat_cross_lay,
+                           m.g_0_cloud_lay, L)
+
+    kw = dict(epsi=phys.epsi, epsi2=phys.epsi2, mu_star=phys.mu_star,
+              w_0_limit=phys.w_0_limit, scat_corr=phys.scat_corr,
+              i2s_transition=phys.i2s_transition)
+
+    nint = L + 1
+    mu_mat = beam_ops._mu_star_matrix(z_lay, phys.mu_star, phys.R_planet,
+                                      phys.geom_zenith_corr, nint,
+                                      opac_lay.dtype)
+    mask = (jnp.arange(L)[None, :] >= jnp.arange(nint)[:, None])
+    mu_weights = jnp.where(mask, 1.0 / mu_mat, 0.0)
 
     if phys.iso:
-        cells, scat_trigger = ts_ops.calc_trans_iso(
-            opac_lay, mmm_lay, scat_lay, m.cloud_abs_cross_lay,
-            m.cloud_scat_cross_lay, m.delta_colmass, g0_lay, **kw)
-        # reference attenuates the direct beam through the gas-only optical
-        # depth (delta_tau_wg, kernels.cu:1306) -- clouds excluded
-        F_dir = beam_ops.fdir_iso(
-            planckband_lay, cells.delta_tau, z_lay,
-            mu_star=phys.mu_star, R_planet=phys.R_planet,
-            R_star=phys.R_star, a=phys.a, dir_beam=phys.dir_beam,
-            geom_zenith_corr=phys.geom_zenith_corr)
+        cells = fp.cell_quantities_flat(
+            opac_lay, mmm_lay, ray_lay, m.cloud_abs_cross_lay,
+            cld_scat_lay, m.delta_colmass, g0_lay, Y, **kw)
+        # reference attenuates the direct beam through the gas-only
+        # optical depth (delta_tau_wg, kernels.cu:1306) -- clouds excluded
+        F_dir = fp.fdir_iso_flat(
+            planck_star_flat, cells.delta_tau, mu_weights,
+            mu_star=phys.mu_star, R_star=phys.R_star, a=phys.a,
+            dir_beam=phys.dir_beam)
         Fc_dir = jnp.zeros((L,) + F_dir.shape[1:], F_dir.dtype)
         lower = cells
+        scat_trigger = jnp.any(cells.w0 > phys.w_0_scat_limit, axis=0)
     else:
         opac_int, scat_int, mmm_int = _gas_properties(
             phys, m, T_int, m.p_int, sset)
-        if phys.clouds:
-            g0_int = ts_ops.g0_total(scat_int, m.g_0_cloud_int,
-                                     m.cloud_scat_cross_int, phys.g_0)
+        if opac_int.ndim == 3:
+            opac_int = fp.cube_to_flat(opac_int)
+        g0_int = _effective_g0(phys, m, scat_int, m.cloud_scat_cross_int,
+                               m.g_0_cloud_int, nint)
+        if not phys.scat:
+            ray_int = jnp.zeros_like(scat_int)
         else:
-            g0_int = jnp.zeros_like(scat_int)
-        upper, lower, scat_trigger = ts_ops.calc_trans_noniso(
-            opac_lay, opac_int, mmm_lay, mmm_int, scat_lay, scat_int,
-            m.cloud_abs_cross_lay, m.cloud_abs_cross_int,
-            m.cloud_scat_cross_lay, m.cloud_scat_cross_int,
-            m.delta_col_upper, m.delta_col_lower, g0_lay, g0_int, **kw)
-        # gas-only optical depth for the direct beam (kernels.cu:1355-1359)
-        F_dir, Fc_dir = beam_ops.fdir_noniso(
-            planckband_lay, upper.delta_tau, lower.delta_tau,
-            z_lay, mu_star=phys.mu_star, R_planet=phys.R_planet,
-            R_star=phys.R_star, a=phys.a, dir_beam=phys.dir_beam,
-            geom_zenith_corr=phys.geom_zenith_corr)
+            ray_int = scat_int
+
+        # upper/lower half-layer averages (calc_trans_noniso,
+        # kernels.cu:1171-1196)
+        def up_mean(lay, intr):
+            return 0.5 * (lay + intr[1:])
+
+        def low_mean(lay, intr):
+            return 0.5 * (intr[:-1] + lay)
+
+        upper = fp.cell_quantities_flat(
+            up_mean(opac_lay, opac_int), up_mean(mmm_lay, mmm_int),
+            up_mean(ray_lay, ray_int),
+            up_mean(m.cloud_abs_cross_lay, m.cloud_abs_cross_int),
+            up_mean(cld_scat_lay, cld_scat_int),
+            m.delta_col_upper, up_mean(g0_lay, g0_int), Y, **kw)
+        lower = fp.cell_quantities_flat(
+            low_mean(opac_lay, opac_int), low_mean(mmm_lay, mmm_int),
+            low_mean(ray_lay, ray_int),
+            low_mean(m.cloud_abs_cross_lay, m.cloud_abs_cross_int),
+            low_mean(cld_scat_lay, cld_scat_int),
+            m.delta_col_lower, low_mean(g0_lay, g0_int), Y, **kw)
+        scat_trigger = (jnp.any(upper.w0 > phys.w_0_scat_limit, axis=0)
+                        | jnp.any(lower.w0 > phys.w_0_scat_limit, axis=0))
+
+        mu_diag = jnp.diagonal(mu_mat[:L])
+        F_dir, Fc_dir = fp.fdir_noniso_flat(
+            planck_star_flat, upper.delta_tau, lower.delta_tau,
+            mu_weights, mu_diag, mu_star=phys.mu_star, R_star=phys.R_star,
+            a=phys.a, dir_beam=phys.dir_beam)
         cells = upper
 
     # additional heating flux per layer: volumetric density * layer height
@@ -429,9 +481,31 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
 # flux solve (every iteration)
 # --------------------------------------------------------------------------- #
 
+def _matrix_cells(cells, ny):
+    """Legacy CellQuantities whose delta_tau carries the TOTAL optical
+    depth (the matrix path reads delta_tau_total = delta_tau + clouds,
+    with the cloud part folded in here)."""
+    from helios_tpu import fastpath as fp
+    c = lambda x: fp.flat_to_cube(x, ny)
+    return ts_ops.CellQuantities(
+        w0=c(cells.w0), delta_tau=c(cells.delta_tau_total),
+        delta_tau_clouds=jnp.zeros(cells.w0.shape[:-1]
+                                   + (cells.w0.shape[-1] // ny,),
+                                   cells.w0.dtype),
+        trans=c(cells.trans), M=c(cells.M), N=c(cells.N), P=c(cells.P),
+        G_pl=c(cells.G_pl), G_min=c(cells.G_min),
+        g0=c(cells.g0)[..., 0])
+
+
 def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
                  flux_state: FluxState) -> FluxState:
-    """One spectral flux solve (iterative sweeps or Thomas matrix)."""
+    """One spectral flux solve (iterative sweeps or Thomas matrix).
+
+    Flat [.., S] layout throughout the iterative path; the matrix method
+    reshapes to the reference layout around the tridiagonal solve."""
+    from helios_tpu import fastpath as fp
+
+    L, Y = phys.nlayer, phys.ny
     planckband_lay = planck_mod.planckband_layers(
         m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
         dim=phys.plancktable_dim, step=phys.plancktable_step)
@@ -441,22 +515,27 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
                   mu_star=phys.mu_star, dir_beam=phys.dir_beam,
                   f_factor=phys.f_factor, R_star=phys.R_star, a=phys.a)
 
+    B_lay_flat = fp.band_to_flat(planckband_lay[:L], Y)
+    B_star_flat = fp.band_to_flat(planckband_lay[L], Y)
+    B_surf_flat = fp.band_to_flat(planckband_lay[L + 1], Y)
+    alb_flat = fp.band_to_flat(m.surf_albedo, Y)
+
     if phys.iso:
         cells = cache.cells_or_upper
         if phys.flux_calc_method == "iteration":
-            if phys.pallas_active:
-                from helios_tpu.kernels.sweep_pallas import fband_iso_pallas
-                F_down, F_up = fband_iso_pallas(
-                    cells, planckband_lay, cache.F_dir, m.surf_albedo,
-                    flux_state.F_up, n_passes=phys.n_sweep_passes, **common)
-            else:
-                F_down, F_up = sweep_ops.fband_iso(
-                    cells, planckband_lay, cache.F_dir, m.surf_albedo,
-                    flux_state.F_up, n_passes=phys.n_sweep_passes, **common)
+            C = fp.iso_sweep_coeffs_flat(
+                cells, B_lay_flat, B_star_flat, B_surf_flat, cache.F_dir,
+                alb_flat, **common)
+            F_down, F_up = fp.fband_iso_flat(
+                C, cache.F_dir[0], flux_state.F_up,
+                n_passes=phys.n_sweep_passes,
+                use_pallas=phys.pallas_active)
         else:
-            F_down, F_up = thomas_ops.fband_matrix_iso(
-                cells, planckband_lay, cache.F_dir, m.surf_albedo,
-                cache.scat_trigger, **common)
+            Fd, Fu = thomas_ops.fband_matrix_iso(
+                _matrix_cells(cells, Y), planckband_lay,
+                fp.flat_to_cube(cache.F_dir, Y), m.surf_albedo,
+                fp.flat_to_cube(cache.scat_trigger[None], Y)[0], **common)
+            F_down, F_up = fp.cube_to_flat(Fd), fp.cube_to_flat(Fu)
         return flux_state._replace(F_down=F_down, F_up=F_up)
     else:
         T_int = interp_ops.interface_temperatures(T_lay)
@@ -465,18 +544,42 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
             step=phys.plancktable_step)
         upper, lower = cache.cells_or_upper, cache.lower
         if phys.flux_calc_method == "iteration":
-            F_down, F_up, Fc_down, Fc_up = sweep_ops.fband_noniso(
-                upper, lower, planckband_lay, planckband_int, cache.F_dir,
-                cache.Fc_dir, m.surf_albedo, flux_state.F_up,
-                flux_state.Fc_up, n_passes=phys.n_sweep_passes,
-                delta_tau_limit=phys.delta_tau_limit, **common)
+            B_int_flat = fp.band_to_flat(planckband_int, Y)
+            C = fp.noniso_sweep_coeffs_flat(
+                upper, lower, B_lay_flat, B_int_flat[:-1], B_int_flat[1:],
+                B_star_flat, B_surf_flat, cache.F_dir, cache.Fc_dir,
+                alb_flat, delta_tau_limit=phys.delta_tau_limit, **common)
+            F_down, F_up, Fc_down, Fc_up = fp.fband_noniso_flat(
+                C, cache.F_dir[0], flux_state.F_up, flux_state.Fc_up,
+                n_passes=phys.n_sweep_passes)
         else:
-            F_down, F_up, Fc_down, Fc_up = thomas_ops.fband_matrix_noniso(
-                upper, lower, planckband_lay, planckband_int, cache.F_dir,
-                cache.Fc_dir, m.surf_albedo, cache.scat_trigger,
+            res = thomas_ops.fband_matrix_noniso(
+                _matrix_cells(upper, Y), _matrix_cells(lower, Y),
+                planckband_lay, planckband_int,
+                fp.flat_to_cube(cache.F_dir, Y),
+                fp.flat_to_cube(cache.Fc_dir, Y), m.surf_albedo,
+                fp.flat_to_cube(cache.scat_trigger[None], Y)[0],
                 delta_tau_limit=phys.delta_tau_limit, **common)
+            F_down, F_up, Fc_down, Fc_up = (fp.cube_to_flat(x)
+                                            for x in res)
         return FluxState(F_down=F_down, F_up=F_up, Fc_down=Fc_down,
                          Fc_up=Fc_up)
+
+
+def integrate_flux_flat(phys: Phys, m: ModelArrays, flux_state: FluxState,
+                        F_dir_flat) -> int_ops.FluxTotals:
+    """Band + total integration from flat fluxes (kernels.cu:2428-2513)."""
+    from helios_tpu import fastpath as fp
+    F_down_band = fp.gauss_band_flat(flux_state.F_down, m.gauss_weight)
+    F_up_band = fp.gauss_band_flat(flux_state.F_up, m.gauss_weight)
+    F_dir_band = fp.gauss_band_flat(F_dir_flat, m.gauss_weight)
+    F_up_tot = jnp.einsum("ib,b->i", F_up_band, m.delta_lambda)
+    F_down_tot = jnp.einsum("ib,b->i", F_dir_band + F_down_band,
+                            m.delta_lambda)
+    return int_ops.FluxTotals(
+        F_down_band=F_down_band, F_up_band=F_up_band,
+        F_dir_band=F_dir_band, F_down_tot=F_down_tot, F_up_tot=F_up_tot,
+        F_net=F_up_tot - F_down_tot)
 
 
 def forward_fluxes(phys: Phys, m: ModelArrays, T_lay,
@@ -488,7 +591,5 @@ def forward_fluxes(phys: Phys, m: ModelArrays, T_lay,
     T_int = interp_ops.interface_temperatures(T_lay)
     cache = compute_cells(phys, m, T_lay, T_int, sset)
     flux_state = solve_fluxes(phys, m, cache, T_lay, flux_state)
-    totals = int_ops.integrate_flux(
-        flux_state.F_down, flux_state.F_up, cache.F_dir,
-        m.gauss_weight, m.delta_lambda)
+    totals = integrate_flux_flat(phys, m, flux_state, cache.F_dir)
     return flux_state, totals, cache

@@ -57,7 +57,9 @@ def make_mesh(n_planet: int = 1, n_spectral: Optional[int] = None,
 _MODEL_SPECS = dict(
     p_lay=P(), p_int=P(), delta_colmass=P(), delta_col_upper=P(),
     delta_col_lower=P(),
-    ktable=P(None, None, "spectral", None),
+    # ktable is [ntemp, npress, S] with S = nbin*ny bin-major, so sharding
+    # S over "spectral" is contiguous-wavelength-band sharding
+    ktable=P(None, None, "spectral"),
     scat_cross_table=P(None, None, "spectral"),
     meanmolmass_table=P(), ktemps=P(), kpress=P(),
     lambda_centers=P("spectral"), lambda_edges=P(),

@@ -101,23 +101,26 @@ def post_process(phys: Phys, m: ModelArrays, T_lay, flux_state,
     """Final-state diagnostics (computation.py:1176-1296): band-integrated
     optical depth/transmission, contribution function, mean opacities,
     beam flux.  One jitted call."""
+    from helios_tpu import fastpath as fp
+    from helios_tpu.forward import integrate_flux_flat
+
+    Y = phys.ny
+    cube = lambda x: fp.flat_to_cube(x, Y)
     T_int = interp_ops.interface_temperatures(T_lay)
     cache = compute_cells(phys, m, T_lay, T_int, sset)
-    totals = int_ops.integrate_flux(flux_state.F_down, flux_state.F_up,
-                                    cache.F_dir, m.gauss_weight,
-                                    m.delta_lambda)
+    totals = integrate_flux_flat(phys, m, flux_state, cache.F_dir)
     if phys.iso:
         cells = cache.cells_or_upper
-        trans_full = cells.trans
+        trans_full = cube(cells.trans)
         dtau_band, trans_band = int_ops.integrate_optdepth_transmission_iso(
-            cells.delta_tau_total, cells.trans, m.gauss_weight)
+            cube(cells.delta_tau_total), cube(cells.trans), m.gauss_weight)
     else:
         up, low = cache.cells_or_upper, cache.lower
-        trans_full = up.trans * low.trans
+        trans_full = cube(up.trans) * cube(low.trans)
         dtau_band, trans_band = (
             int_ops.integrate_optdepth_transmission_noniso(
-                up.delta_tau_total, low.delta_tau_total, up.trans, low.trans,
-                m.gauss_weight))
+                cube(up.delta_tau_total), cube(low.delta_tau_total),
+                cube(up.trans), cube(low.trans), m.gauss_weight))
 
     planckband_lay = planck_mod.planckband_layers(
         m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
@@ -126,7 +129,7 @@ def post_process(phys: Phys, m: ModelArrays, T_lay, flux_state,
         trans_full, planckband_lay, m.gauss_weight, phys.epsi)
 
     means = int_ops.mean_opacities(
-        cache.opac_lay, m.cloud_abs_cross_lay, cache.meanmolmass_lay,
+        cube(cache.opac_lay), m.cloud_abs_cross_lay, cache.meanmolmass_lay,
         planckband_lay, m.lambda_edges, m.delta_lambda, T_lay,
         m.gauss_weight, m.gauss_y, phys.T_star)
 
@@ -204,8 +207,8 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
             if phys.iso == 0 else None),
         opac_band_lay=np.asarray(post["means"]["opac_band_lay"]),
         scat_cross_lay=np.asarray(cache.scat_cross_lay),
-        g_0_tot_lay=np.asarray(
-            cache.cells_or_upper.g0 if phys.clouds
+        g_0_tot_lay=(np.asarray(cache.cells_or_upper.g0).reshape(
+            L, phys.nbin, phys.ny)[:, :, 0] if phys.clouds
             else np.full((L, phys.nbin), phys.g_0)),
         trans_band=np.asarray(post["trans_band"]),
         delta_tau_band=np.asarray(post["dtau_band"]),

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from helios_tpu import constants as pc
 from helios_tpu.forward import (CellCache, FluxState, ModelArrays, Phys,
-                                compute_cells, init_flux_state, solve_fluxes)
+                                compute_cells, init_flux_state,
+                                integrate_flux_flat, solve_fluxes)
 from helios_tpu.ops import integrate as int_ops
 from helios_tpu.ops import interp as interp_ops
 from helios_tpu.rce import convect
@@ -124,8 +125,7 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
         lambda: compute_cells(phys, m, T_adj, T_int, sset),
         lambda: s.cache)
     flux = solve_fluxes(phys, m, cache, T_adj, s.flux)
-    totals = int_ops.integrate_flux(flux.F_down, flux.F_up, cache.F_dir,
-                                    m.gauss_weight, m.delta_lambda)
+    totals = integrate_flux_flat(phys, m, flux, cache.F_dir)
 
     # --- re-mark convective zones with the post-solve temperatures ---
     kappa_lay, c_p_lay = kappa_cp_lay(thermo, T_adj, m.p_lay)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from helios_tpu import constants as pc
 from helios_tpu import planck as planck_mod
 from helios_tpu.forward import (CellCache, FluxState, ModelArrays, Phys,
-                                compute_cells, init_flux_state, solve_fluxes)
+                                compute_cells, init_flux_state,
+                                integrate_flux_flat, solve_fluxes)
 from helios_tpu.ops import integrate as int_ops
 from helios_tpu.ops import interp as interp_ops
 
@@ -216,8 +217,7 @@ def _one_radiation_iteration(phys: Phys, m: ModelArrays,
         lambda: s.cache)
 
     flux = solve_fluxes(phys, m, cache, s.T_lay, s.flux)
-    totals = int_ops.integrate_flux(flux.F_down, flux.F_up, cache.F_dir,
-                                    m.gauss_weight, m.delta_lambda)
+    totals = integrate_flux_flat(phys, m, flux, cache.F_dir)
 
     if phys.physical_tstep != 0.0 and thermo is not None:
         _kappa_lay, c_p_lay = kappa_cp_lay(thermo, s.T_lay, m.p_lay)
@@ -280,8 +280,7 @@ def init_rad_state(phys: Phys, m: ModelArrays, T_lay0,
     T_int = interp_ops.interface_temperatures(T_lay0)
     cache = compute_cells(phys, m, T_lay0, T_int, sset)
     flux = init_flux_state(phys, dtype)
-    totals = int_ops.integrate_flux(flux.F_down, flux.F_up, cache.F_dir,
-                                    m.gauss_weight, m.delta_lambda)
+    totals = integrate_flux_flat(phys, m, flux, cache.F_dir)
     return RadLoopState(
         T_lay=T_lay0, flux=flux, cache=cache, totals=totals,
         T_store=jnp.zeros(L + 1, dtype),
@@ -309,9 +308,7 @@ def radiation_loop(phys: Phys, m: ModelArrays,
         # post-processing: one flux solve (with the 1000*scat+1 sweep
         # passes), no temperature iteration (computation.py:983-984)
         flux = solve_fluxes(phys, m, state.cache, state.T_lay, state.flux)
-        totals = int_ops.integrate_flux(flux.F_down, flux.F_up,
-                                        state.cache.F_dir, m.gauss_weight,
-                                        m.delta_lambda)
+        totals = integrate_flux_flat(phys, m, flux, state.cache.F_dir)
         return state._replace(flux=flux, totals=totals)
 
     start_it = state.it
