@@ -1,0 +1,152 @@
+"""CLI, plotting, and star_tool tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from helios_tpu.io.opacity import save_opacity_file, synthetic_premixed_table
+
+
+def test_param_file_parses_reference_param_dat():
+    from helios_tpu.config import parse_param_file
+    cfg = parse_param_file("/root/reference/param.dat")
+    c = cfg.finalize()
+    assert c.nlayer == 105
+    assert c.iso == 0 and c.scat == 1
+    assert c.p_boa == 1e9 and c.p_toa == 1e-1
+    # GJ 1214b planet parameters resolved from the database
+    assert c.T_star > 2000 and c.a > 1e11
+
+
+def test_cli_end_to_end(tmp_path):
+    """`python -m helios_tpu` runs a small configuration from a param file
+    and writes the output set."""
+    table = synthetic_premixed_table(nbin=12, ny=4, ntemp=8, npress=6)
+    opac_path = str(tmp_path / "table.h5")
+    save_opacity_file(opac_path, table)
+
+    param = tmp_path / "param.dat"
+    param.write_text(f"""
+name =                       clirun
+output directory =           {tmp_path}/out/
+realtime plotting =          no
+planet type =                gas
+TOA pressure [10^-6 bar] =   1e3
+BOA pressure [10^-6 bar] =   1e8
+run type =                   iterative
+scattering =                 no
+direct irradiation beam =    no
+internal temperature [K] =   150
+opacity mixing =             premixed
+path to opacity file =       {opac_path}
+convective adjustment =      no
+plancktable dimension and stepsize = 8000 2
+number of layers =           8
+isothermal layers =          yes
+radiative equilibrium criterion = 1e-5
+planet =                     manual
+surface gravity [cm s^-2] =  2288
+orbital distance [au] =      0.0153
+radius planet [r_jup] =      1.0
+radius star [r_sun] =        1.0
+temperature star [k] =       4000
+""")
+    env = dict(os.environ, JAX_PLATFORMS="", PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import helios_tpu.__main__ as m; m.main("
+         f"['-parameter_file', '{param}'])"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Done!" in proc.stdout
+    out_dir = str(tmp_path / "out" / "clirun")
+    assert os.path.exists(os.path.join(out_dir, "clirun_tp.dat"))
+    assert os.path.exists(os.path.join(out_dir,
+                                       "clirun_TOA_flux_eclipse.dat"))
+
+
+def test_realtime_plot_renders(tmp_path):
+    from helios_tpu.plotting import Plot
+    L = 10
+    p = Plot(interactive=False)
+    png = str(tmp_path / "frame.png")
+    p.plot_tp_and_flux(
+        T_lay=np.linspace(1500, 700, L + 1),
+        F_net=np.linspace(100, 90, L + 1), F_intern=95.0,
+        p_boa=1e8, p_toa=1e3,
+        marked_red=np.r_[np.ones(3, int), np.zeros(L - 2, int)],
+        conv_layer=np.r_[np.zeros(L - 2, int), np.ones(3, int)],
+        savefig=png)
+    assert os.path.getsize(png) > 5000
+
+
+def test_posthoc_plots(tmp_path):
+    """Post-hoc plotting scripts parse the output files we write."""
+    import jax.numpy as jnp
+    from helios_tpu import pipeline, plotting
+    from helios_tpu.config import HeliosConfig
+
+    table = synthetic_premixed_table(nbin=12, ny=4, ntemp=8, npress=6)
+    cfg = HeliosConfig(name="pp", output_dir=str(tmp_path) + "/",
+                       planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                       R_star=1.0, T_star=4000.0, T_intern=150.0,
+                       scattering="no", direct_beam="no", convection="no",
+                       run_type="iterative", iso_input="yes", nlayer=8,
+                       p_boa=1e8, p_toa=1e3, rad_convergence_limit=1e-5)
+    pipeline.run(cfg, table=table)
+    d = os.path.join(str(tmp_path), "pp")
+    plotting.plot_tp_from_file(os.path.join(d, "pp_tp.dat"),
+                               str(tmp_path / "tp.png"))
+    plotting.plot_spectrum_from_file(
+        os.path.join(d, "pp_TOA_flux_eclipse.dat"),
+        str(tmp_path / "spec.png"))
+    assert os.path.getsize(str(tmp_path / "tp.png")) > 5000
+    assert os.path.getsize(str(tmp_path / "spec.png")) > 5000
+
+
+def test_startool_ascii_conversion(tmp_path):
+    """ASCII stellar spectrum rebinned onto an opacity grid with automatic
+    blackbody extrapolation; result loadable as model starflux."""
+    from helios_tpu import constants as pc
+    from helios_tpu import host_physics as hp
+    from helios_tpu.startool import functions as st
+
+    table = synthetic_premixed_table(nbin=24, ny=4, ntemp=8, npress=6,
+                                     lambda_min=0.3e-4, lambda_max=50e-4)
+    opac_path = str(tmp_path / "table.h5")
+    save_opacity_file(opac_path, table)
+
+    # synthetic stellar spectrum: a 4500 K blackbody at 1 AU scaled back
+    T_star = 4500.0
+    lam_um = np.geomspace(0.2, 6.0, 4000)      # truncated -> needs BB tail
+    lam_cm = lam_um * 1e-4
+    surf_flux = np.pi * hp.planck_lambda_np(lam_cm, T_star)
+    flux_1au = surf_flux / (pc.AU / pc.R_SUN) ** 2
+    src = tmp_path / "star.dat"
+    with open(src, "w") as f:
+        f.write("#\n" * 8)
+        for l, fl in zip(lam_um, flux_1au):
+            f.write(f"{l:.6e} {fl:.6e}\n")
+
+    star = dict(name="test", data_format="ascii", temp=T_star,
+                source_file=str(src), w_conversion_factor=1e-4,
+                flux_conversion_factor=1.0)
+    out_h5 = str(tmp_path / "star_out.h5")
+    lam, conv = st.convert_star(star, "r50", opac_path, out_h5,
+                                mode="automatic")
+
+    # the converted spectrum matches pi*B(T_star) everywhere (BB source +
+    # BB extrapolation at the fitted temperature)
+    import h5py
+    with h5py.File(out_h5) as f:
+        stored = np.asarray(f["/r50/ascii/test"])
+    np.testing.assert_allclose(stored, conv)
+    edges = table.wave_edges
+    from helios_tpu import tools
+    want = np.pi * tools.calc_analyt_planck_in_interval(
+        T_star, edges[:-1], edges[1:])
+    np.testing.assert_allclose(conv, want, rtol=0.05)
