@@ -146,8 +146,9 @@ def test_flat_forward_matches_legacy(iso, clouds, dir_beam):
     for field in ("F_down_band", "F_up_band", "F_dir_band", "F_net"):
         np.testing.assert_allclose(
             np.asarray(getattr(got, field)),
-            np.asarray(getattr(want, field)), rtol=1e-10, atol=1e-20,
-            err_msg=field)
+            np.asarray(getattr(want, field)), rtol=1e-9, atol=1e-20,
+            err_msg=field)  # 1e-9: flat path sums bands in a different
+        # order than the legacy oracle (mul+axis-sum vs einsum)
 
 
 @pytest.mark.parametrize("iso", [1, 0])
