@@ -47,20 +47,28 @@ def main():
 
     T_lay = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
 
+    # K passes chained inside one jit, exactly like the production RCE
+    # loop (a device-side lax.while_loop): measures device throughput,
+    # not host dispatch latency
+    K = 50
+
     @jax.jit
     def fwd(T):
-        _flux, totals, _cache = forward_fluxes(phys, arrays, T)
-        return totals.F_net
+        def body(_, T):
+            _flux, totals, _cache = forward_fluxes(phys, arrays, T)
+            return T + 1e-12 * totals.F_net   # data-dependent chaining
+        return jax.lax.fori_loop(0, K, body, T)
 
     # warmup/compile
     fwd(T_lay).block_until_ready()
 
-    n_rep = 30
+    n_rep = 5
     t0 = time.perf_counter()
+    out = T_lay
     for _ in range(n_rep):
-        out = fwd(T_lay)
+        out = fwd(out)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = (time.perf_counter() - t0) / (n_rep * K)
 
     cells = phys.nlayer * phys.nbin * phys.ny
     value = cells / dt

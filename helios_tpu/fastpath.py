@@ -186,10 +186,15 @@ def fband_iso_flat(C: FlatIsoCoeffs, F_dir0, F_up_prev, *, n_passes: int,
                    use_pallas: bool):
     """Iterative iso solve on flat arrays; returns (F_down, F_up) [I, S]."""
     if use_pallas:
-        from helios_tpu.kernels.sweep_pallas import fused_iso_sweep
-        return fused_iso_sweep(C.a, C.b_nm, C.src_down, C.src_up, C.toa,
-                               C.boa_refl, C.boa_emis, F_dir0, F_up_prev,
-                               n_passes=n_passes)
+        from helios_tpu.kernels.sweep_pallas import (fused_iso_sweep,
+                                                     fused_iso_sweep_df64)
+        # Mosaic has no fp64: the double-precision path runs the fused
+        # kernel in df64 (two-float32) arithmetic, ~1e-13 vs the oracle
+        kernel = (fused_iso_sweep_df64 if C.a.dtype == jnp.float64
+                  else fused_iso_sweep)
+        return kernel(C.a, C.b_nm, C.src_down, C.src_up, C.toa,
+                      C.boa_refl, C.boa_emis, F_dir0, F_up_prev,
+                      n_passes=n_passes)
 
     toa = jnp.broadcast_to(C.toa, F_up_prev.shape[1:]).astype(
         F_up_prev.dtype)

@@ -94,10 +94,12 @@ class Phys:
             return True
         if self.use_pallas == "no":
             return False
-        # auto: off -- the flat-layout lax.scan path matches the fused
-        # Pallas kernel's throughput (both ~22G cells/s), and Mosaic's
-        # lowering currently recurses on int64 converts under x64
-        return False
+        # auto: on for real TPU backends -- the fused kernel runs the
+        # whole multi-pass recursion in VMEM (fp32 direct, fp64 via df64
+        # two-float arithmetic) ~14x faster than the lax.scan path.  Off
+        # on CPU, where Pallas only has the slow interpreter.
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
 
     @property
     def ninterface(self) -> int:

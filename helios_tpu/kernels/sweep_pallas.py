@@ -72,6 +72,83 @@ def _iso_sweep_kernel(a_ref, b_ref, sd_ref, su_ref, toa_ref, refl_ref,
                       np.int32(0))
 
 
+def _iso_sweep_kernel_df64(ah_ref, al_ref, bh_ref, bl_ref, sdh_ref, sdl_ref,
+                           suh_ref, sul_ref, toah_ref, toal_ref, reflh_ref,
+                           refll_ref, emish_ref, emisl_ref, fdir0h_ref,
+                           fdir0l_ref, fuph_prev_ref, fupl_prev_ref,
+                           fdownh_ref, fdownl_ref, fuph_ref, fupl_ref,
+                           srch_ref, srcl_ref, *, nlayer: int,
+                           n_passes: int):
+    """df64 (double-float32) variant of _iso_sweep_kernel.
+
+    Every logical fp64 array arrives as a (hi, lo) float32 pair; the
+    recursion runs in error-free-transformation arithmetic (ops.df64) at
+    native fp32 vector speed.  This is how the TPU build preserves the
+    reference's fp64 flux accuracy (kernels.cu `utype`): matches the XLA
+    fp64 oracle to ~1e-13 relative.
+
+    src scratch: per pass the vectorized [L, S] source b*F + s is staged
+    in VMEM scratch so the sequential loop is one df64 fma per layer.
+    """
+    from helios_tpu.ops import df64
+
+    L = nlayer
+    DF = df64.DF
+
+    fuph_ref[:] = fuph_prev_ref[:]
+    fupl_ref[:] = fupl_prev_ref[:]
+    toa = DF(toah_ref[0, :], toal_ref[0, :])
+    fdownh_ref[L, :] = toa.hi
+    fdownl_ref[L, :] = toa.lo
+
+    def one_pass(p, _):
+        # vectorized source for the down sweep: b * F_up[0:L] + sd
+        src = df64.fma(DF(bh_ref[:, :], bl_ref[:, :]),
+                       DF(fuph_ref[:L, :], fupl_ref[:L, :]),
+                       DF(sdh_ref[:, :], sdl_ref[:, :]))
+        srch_ref[:] = src.hi
+        srcl_ref[:] = src.lo
+
+        def down_step(k, carry):
+            i = jnp.int32(L - 1) - k
+            f = df64.fma(DF(ah_ref[i, :], al_ref[i, :]), carry,
+                         DF(srch_ref[i, :], srcl_ref[i, :]))
+            fdownh_ref[i, :] = f.hi
+            fdownl_ref[i, :] = f.lo
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
+
+        # BOA: refl * (F_dir0 + F_down[0]) + emis
+        boa = df64.fma(
+            DF(reflh_ref[0, :], refll_ref[0, :]),
+            df64.add(DF(fdir0h_ref[0, :], fdir0l_ref[0, :]),
+                     DF(fdownh_ref[0, :], fdownl_ref[0, :])),
+            DF(emish_ref[0, :], emisl_ref[0, :]))
+        fuph_ref[0, :] = boa.hi
+        fupl_ref[0, :] = boa.lo
+
+        # vectorized source for the up sweep: b * F_down[1:L+1] + su
+        src_u = df64.fma(DF(bh_ref[:, :], bl_ref[:, :]),
+                         DF(fdownh_ref[1:, :], fdownl_ref[1:, :]),
+                         DF(suh_ref[:, :], sul_ref[:, :]))
+        srch_ref[:] = src_u.hi
+        srcl_ref[:] = src_u.lo
+
+        def up_step(i, carry):
+            f = df64.fma(DF(ah_ref[i, :], al_ref[i, :]), carry,
+                         DF(srch_ref[i, :], srcl_ref[i, :]))
+            fuph_ref[i + 1, :] = f.hi
+            fupl_ref[i + 1, :] = f.lo
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
+        return np.int32(0)
+
+    jax.lax.fori_loop(np.int32(0), np.int32(n_passes), one_pass,
+                      np.int32(0))
+
+
 def _pad_to(x, s_pad):
     pad = s_pad - x.shape[-1]
     if pad == 0:
@@ -122,18 +199,83 @@ def fused_iso_sweep(a, b_nm, src_down, src_up, toa, boa_refl, boa_emis,
     int_spec = pl.BlockSpec((L + 1, tile_s), lambda t: (0, t),
                             memory_space=pltpu.VMEM)
 
-    fdown, fup = pl.pallas_call(
-        partial(_iso_sweep_kernel, nlayer=L, n_passes=n_passes),
-        grid=(n_tiles,),
-        in_specs=[lay_spec, lay_spec, lay_spec, lay_spec,
-                  row_spec, row_spec, row_spec, row_spec, int_spec],
-        out_specs=(int_spec, int_spec),
-        out_shape=(jax.ShapeDtypeStruct((L + 1, s_pad), dtype),
-                   jax.ShapeDtypeStruct((L + 1, s_pad), dtype)),
-        interpret=_use_interpret(),
-    )(a_p, b_p, sd_p, su_p, toa_p, refl_p, emis_p, fdir0_p, fup_prev_p)
+    # trace the kernel with x64 disabled: under jax_enable_x64 the
+    # gridded pallas_call sprouts i64 scalars in the nested loop bodies
+    # and Mosaic's i64 convert lowering recurses infinitely (TPU has no
+    # i64 vectors); all kernel data is 32-bit anyway
+    with jax.enable_x64(False):
+        fdown, fup = pl.pallas_call(
+            partial(_iso_sweep_kernel, nlayer=L, n_passes=n_passes),
+            grid=(n_tiles,),
+            in_specs=[lay_spec, lay_spec, lay_spec, lay_spec,
+                      row_spec, row_spec, row_spec, row_spec, int_spec],
+            out_specs=(int_spec, int_spec),
+            out_shape=(jax.ShapeDtypeStruct((L + 1, s_pad), dtype),
+                       jax.ShapeDtypeStruct((L + 1, s_pad), dtype)),
+            interpret=_use_interpret(),
+        )(a_p, b_p, sd_p, su_p, toa_p, refl_p, emis_p, fdir0_p,
+          fup_prev_p)
 
     return fdown[:, :S], fup[:, :S]
+
+
+@partial(jax.jit, static_argnames=("n_passes", "tile_s"))
+def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
+                         boa_emis, F_dir0, F_up_prev, *, n_passes: int,
+                         tile_s: int = 512):
+    """fp64-accurate fused iso solve via double-float32 arithmetic.
+
+    Same contract as fused_iso_sweep but with float64 inputs/outputs:
+    each array is split into a (hi, lo) float32 pair outside the kernel,
+    the recursion runs in df64 (ops.df64) on the VPU, and the pair is
+    recombined to float64 on return.  Matches the fp64 lax.scan oracle to
+    ~1e-13 relative at ~10x its speed (Mosaic cannot lower fp64 at all).
+
+    tile_s defaults lower than the fp32 kernel: the pair representation
+    doubles the VMEM footprint per tile, and the double-buffered pipeline
+    over grid tiles must stay under the ~16 MB/core VMEM budget.
+    """
+    from helios_tpu.ops import df64
+
+    L, S = a.shape
+    out_dtype = a.dtype
+    tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
+    s_pad = tile_s * ((S + tile_s - 1) // tile_s)
+    n_tiles = s_pad // tile_s
+
+    def pair(x):
+        return df64.split(_pad_to(x, s_pad))
+
+    ins = []
+    for arr in (a, b_nm, src_down, src_up):
+        ins.extend(pair(arr))
+    for arr in (toa, boa_refl, boa_emis, F_dir0):
+        ins.extend(pair(arr[None, :]))
+    ins.extend(pair(F_up_prev))
+
+    lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    int_spec = pl.BlockSpec((L + 1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+
+    with jax.enable_x64(False):
+        fdh, fdl, fuh, ful = pl.pallas_call(
+            partial(_iso_sweep_kernel_df64, nlayer=L, n_passes=n_passes),
+            grid=(n_tiles,),
+            in_specs=[lay_spec] * 8 + [row_spec] * 8 + [int_spec] * 2,
+            out_specs=(int_spec,) * 4,
+            out_shape=tuple(jax.ShapeDtypeStruct((L + 1, s_pad), f32)
+                            for _ in range(4)),
+            scratch_shapes=[pltpu.VMEM((L, tile_s), f32)] * 2,
+            interpret=_use_interpret(),
+        )(*ins)
+
+    F_down = df64.combine(df64.DF(fdh, fdl), out_dtype)
+    F_up = df64.combine(df64.DF(fuh, ful), out_dtype)
+    return F_down[:, :S], F_up[:, :S]
 
 
 def fband_iso_pallas(cells, planckband_lay, F_dir, surf_albedo, F_up_prev,

@@ -1,0 +1,117 @@
+"""df64 (double-float32) arithmetic and the df64 fused sweep kernel.
+
+The TPU has no fp64 vector datapath (Mosaic cannot lower fp64 at all), so
+the fused Pallas sweep runs double precision as two-float32 pairs
+(helios_tpu/ops/df64.py).  These tests pin the error-free-transformation
+accuracy (~1e-13 relative, vs fp32's ~1e-7) and the kernel's parity with
+the fp64 lax.scan oracle, in interpreter mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helios_tpu import fastpath as fp
+from helios_tpu.ops import df64
+
+
+def test_df64_mul_add_accuracy(rng):
+    x = jnp.asarray(rng.uniform(-5, 5, 20000))
+    y = jnp.asarray(rng.uniform(-5, 5, 20000))
+    dx, dy = df64.split(x), df64.split(y)
+
+    prod = df64.combine(jax.jit(df64.mul)(dx, dy))
+    # typical error ~1e-14; rare outliers reach a few 1e-11 when the
+    # cross-term sum cancels (sloppy composition) -- still far below the
+    # 1e-8 physics criterion
+    np.testing.assert_allclose(np.asarray(prod), np.asarray(x * y),
+                               rtol=5e-11)
+    s = df64.combine(jax.jit(df64.add)(dx, dy))
+    # sloppy add: ~1e-11 worst case relative when the hi parts cancel
+    np.testing.assert_allclose(np.asarray(s), np.asarray(x + y),
+                               rtol=5e-11, atol=1e-18)
+
+
+def test_df64_split_roundtrip(rng):
+    """split/combine keeps ~49 of fp64's 53 mantissa bits (2^-48 ~ 4e-15)."""
+    x = jnp.asarray(rng.uniform(-1e30, 1e30, 1000))
+    d = df64.split(x)
+    np.testing.assert_allclose(np.asarray(df64.combine(d)), np.asarray(x),
+                               rtol=4e-15)
+
+
+def test_df64_recurrence_matches_fp64(rng):
+    """105-step a*f + c recurrence: the flux-sweep access pattern."""
+    L, S = 105, 64
+    a = jnp.asarray(0.9 + 0.1 * rng.uniform(size=(L, S)))
+    c = jnp.asarray(rng.uniform(size=(L, S)))
+    f_ref = jnp.ones(S)
+    for i in range(L):
+        f_ref = a[i] * f_ref + c[i]
+
+    da, dc = df64.split(a), df64.split(c)
+
+    @jax.jit
+    def run(da, dc):
+        def step(carry, xs):
+            ah, al, ch, cl = xs
+            out = df64.fma(df64.DF(ah, al), carry, df64.DF(ch, cl))
+            return out, None
+        init = df64.DF(jnp.ones(S, jnp.float32), jnp.zeros(S, jnp.float32))
+        out, _ = jax.lax.scan(step, init, (da.hi, da.lo, dc.hi, dc.lo))
+        return df64.combine(out)
+
+    got = run(da, dc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(f_ref),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("n_passes", [1, 4])
+def test_df64_pallas_sweep_matches_scan(rng, n_passes):
+    """fband_iso_flat fp64: pallas (df64 kernel, interpret) vs lax.scan."""
+    L, S = 12, 40
+    C = fp.FlatIsoCoeffs(
+        a=jnp.asarray(0.8 + 0.2 * rng.uniform(size=(L, S))),
+        b_nm=jnp.asarray(0.02 * rng.uniform(size=(L, S))),
+        src_down=jnp.asarray(rng.uniform(1e2, 1e4, (L, S))),
+        src_up=jnp.asarray(rng.uniform(1e2, 1e4, (L, S))),
+        boa_refl=jnp.asarray(rng.uniform(0, 0.4, S)),
+        boa_emis=jnp.asarray(rng.uniform(1e2, 1e4, S)),
+        toa=jnp.asarray(rng.uniform(0, 1e3, S)))
+    F_dir0 = jnp.asarray(rng.uniform(0, 1e3, S))
+    F_up0 = jnp.asarray(rng.uniform(0, 1e3, (L + 1, S)))
+    assert C.a.dtype == jnp.float64
+
+    want = fp.fband_iso_flat(C, F_dir0, F_up0, n_passes=n_passes,
+                             use_pallas=False)
+    got = fp.fband_iso_flat(C, F_dir0, F_up0, n_passes=n_passes,
+                            use_pallas=True)
+    for g, w in zip(got, want):
+        assert g.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12)
+
+
+def test_fp32_pallas_dispatch(rng):
+    """fp32 coefficients route to the plain fp32 kernel."""
+    L, S = 6, 32
+    f32 = jnp.float32
+    C = fp.FlatIsoCoeffs(
+        a=jnp.asarray(0.9 * rng.uniform(size=(L, S)), f32),
+        b_nm=jnp.asarray(0.01 * rng.uniform(size=(L, S)), f32),
+        src_down=jnp.asarray(rng.uniform(size=(L, S)), f32),
+        src_up=jnp.asarray(rng.uniform(size=(L, S)), f32),
+        boa_refl=jnp.asarray(rng.uniform(0, 0.4, S), f32),
+        boa_emis=jnp.asarray(rng.uniform(size=S), f32),
+        toa=jnp.asarray(rng.uniform(size=S), f32))
+    F_dir0 = jnp.zeros(S, f32)
+    F_up0 = jnp.zeros((L + 1, S), f32)
+    want = fp.fband_iso_flat(C, F_dir0, F_up0, n_passes=2,
+                             use_pallas=False)
+    got = fp.fband_iso_flat(C, F_dir0, F_up0, n_passes=2, use_pallas=True)
+    for g, w in zip(got, want):
+        assert g.dtype == f32
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-6)
