@@ -320,9 +320,16 @@ def noniso_sweep_coeffs_flat(upper: FlatCells, lower: FlatCells,
 
 
 def fband_noniso_flat(C: FlatNonIsoCoeffs, F_dir0, F_up_prev, Fc_up_prev,
-                      *, n_passes: int):
+                      *, n_passes: int, use_pallas: bool = False):
     """Iterative non-iso solve (flat); returns (F_down, F_up, Fc_down,
     Fc_up)."""
+    if use_pallas and C.a_up.dtype == jnp.float64:
+        from helios_tpu.kernels.sweep_pallas import fused_noniso_sweep_df64
+        return fused_noniso_sweep_df64(
+            C.a_up, C.b_up, C.src_up_down, C.src_up_up, C.a_low, C.b_low,
+            C.src_low_down, C.src_low_up, C.toa, C.boa_refl, C.boa_emis,
+            F_dir0, F_up_prev, Fc_up_prev, n_passes=n_passes)
+
     toa = jnp.broadcast_to(C.toa, F_up_prev.shape[1:]).astype(
         F_up_prev.dtype)
 

@@ -553,7 +553,8 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
                 alb_flat, delta_tau_limit=phys.delta_tau_limit, **common)
             F_down, F_up, Fc_down, Fc_up = fp.fband_noniso_flat(
                 C, cache.F_dir[0], flux_state.F_up, flux_state.Fc_up,
-                n_passes=phys.n_sweep_passes)
+                n_passes=phys.n_sweep_passes,
+                use_pallas=phys.pallas_active)
         else:
             res = thomas_ops.fband_matrix_noniso(
                 _matrix_cells(upper, Y), _matrix_cells(lower, Y),

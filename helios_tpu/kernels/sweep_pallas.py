@@ -149,6 +149,104 @@ def _iso_sweep_kernel_df64(ah_ref, al_ref, bh_ref, bl_ref, sdh_ref, sdl_ref,
                       np.int32(0))
 
 
+def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
+                              sudh_ref, sudl_ref, suuh_ref, suul_ref,
+                              alh_ref, all_ref, blh_ref, bll_ref,
+                              sldh_ref, sldl_ref, sluh_ref, slul_ref,
+                              toah_ref, toal_ref, reflh_ref, refll_ref,
+                              emish_ref, emisl_ref, fdir0h_ref, fdir0l_ref,
+                              fuph_prev_ref, fupl_prev_ref,
+                              fcuph_prev_ref, fcupl_prev_ref,
+                              fdownh_ref, fdownl_ref, fuph_ref, fupl_ref,
+                              fcdownh_ref, fcdownl_ref, fcuph_ref,
+                              fcupl_ref, s1h_ref, s1l_ref, s2h_ref,
+                              s2l_ref, *, nlayer: int, n_passes: int):
+    """df64 fused non-isothermal flux solve (fband_noniso,
+    kernels.cu:1521-1800): half-layer resolution, so each sequential step
+    chains two df64 fmas (upper then lower half).
+
+    Per pass the vectorized sources b*F + s for both halves are staged in
+    VMEM scratch (s1 = upper-half source, s2 = lower-half source), then
+    the downward and upward recursions run one layer at a time.
+    """
+    from helios_tpu.ops import df64
+
+    L = nlayer
+    DF = df64.DF
+
+    fuph_ref[:] = fuph_prev_ref[:]
+    fupl_ref[:] = fupl_prev_ref[:]
+    fcuph_ref[:] = fcuph_prev_ref[:]
+    fcupl_ref[:] = fcupl_prev_ref[:]
+    toa = DF(toah_ref[0, :], toal_ref[0, :])
+    fdownh_ref[L, :] = toa.hi
+    fdownl_ref[L, :] = toa.lo
+
+    def one_pass(p, _):
+        # down-sweep sources: upper half uses Fc_up, lower half F_up
+        s1 = df64.fma(DF(buh_ref[:, :], bul_ref[:, :]),
+                      DF(fcuph_ref[:, :], fcupl_ref[:, :]),
+                      DF(sudh_ref[:, :], sudl_ref[:, :]))
+        s1h_ref[:] = s1.hi
+        s1l_ref[:] = s1.lo
+        s2 = df64.fma(DF(blh_ref[:, :], bll_ref[:, :]),
+                      DF(fuph_ref[:L, :], fupl_ref[:L, :]),
+                      DF(sldh_ref[:, :], sldl_ref[:, :]))
+        s2h_ref[:] = s2.hi
+        s2l_ref[:] = s2.lo
+
+        def down_step(k, carry):
+            i = jnp.int32(L - 1) - k
+            fc = df64.fma(DF(auh_ref[i, :], aul_ref[i, :]), carry,
+                          DF(s1h_ref[i, :], s1l_ref[i, :]))
+            fcdownh_ref[i, :] = fc.hi
+            fcdownl_ref[i, :] = fc.lo
+            f = df64.fma(DF(alh_ref[i, :], all_ref[i, :]), fc,
+                         DF(s2h_ref[i, :], s2l_ref[i, :]))
+            fdownh_ref[i, :] = f.hi
+            fdownl_ref[i, :] = f.lo
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
+
+        boa = df64.fma(
+            DF(reflh_ref[0, :], refll_ref[0, :]),
+            df64.add(DF(fdir0h_ref[0, :], fdir0l_ref[0, :]),
+                     DF(fdownh_ref[0, :], fdownl_ref[0, :])),
+            DF(emish_ref[0, :], emisl_ref[0, :]))
+        fuph_ref[0, :] = boa.hi
+        fupl_ref[0, :] = boa.lo
+
+        # up-sweep sources: lower half uses Fc_down, upper half F_down
+        s1u = df64.fma(DF(blh_ref[:, :], bll_ref[:, :]),
+                       DF(fcdownh_ref[:, :], fcdownl_ref[:, :]),
+                       DF(sluh_ref[:, :], slul_ref[:, :]))
+        s1h_ref[:] = s1u.hi
+        s1l_ref[:] = s1u.lo
+        s2u = df64.fma(DF(buh_ref[:, :], bul_ref[:, :]),
+                       DF(fdownh_ref[1:, :], fdownl_ref[1:, :]),
+                       DF(suuh_ref[:, :], suul_ref[:, :]))
+        s2h_ref[:] = s2u.hi
+        s2l_ref[:] = s2u.lo
+
+        def up_step(i, carry):
+            fc = df64.fma(DF(alh_ref[i, :], all_ref[i, :]), carry,
+                          DF(s1h_ref[i, :], s1l_ref[i, :]))
+            fcuph_ref[i, :] = fc.hi
+            fcupl_ref[i, :] = fc.lo
+            f = df64.fma(DF(auh_ref[i, :], aul_ref[i, :]), fc,
+                         DF(s2h_ref[i, :], s2l_ref[i, :]))
+            fuph_ref[i + 1, :] = f.hi
+            fupl_ref[i + 1, :] = f.lo
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
+        return np.int32(0)
+
+    jax.lax.fori_loop(np.int32(0), np.int32(n_passes), one_pass,
+                      np.int32(0))
+
+
 def _pad_to(x, s_pad):
     pad = s_pad - x.shape[-1]
     if pad == 0:
@@ -276,6 +374,72 @@ def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
     F_down = df64.combine(df64.DF(fdh, fdl), out_dtype)
     F_up = df64.combine(df64.DF(fuh, ful), out_dtype)
     return F_down[:, :S], F_up[:, :S]
+
+
+@partial(jax.jit, static_argnames=("n_passes", "tile_s"))
+def fused_noniso_sweep_df64(a_up, b_up, src_up_down, src_up_up, a_low,
+                            b_low, src_low_down, src_low_up, toa,
+                            boa_refl, boa_emis, F_dir0, F_up_prev,
+                            Fc_up_prev, *, n_passes: int,
+                            tile_s: int = 256):
+    """fp64-accurate fused non-iso solve via df64 pairs.
+
+    Mirrors fastpath.fband_noniso_flat: inputs are the FlatNonIsoCoeffs
+    members ([L, S] fp64, [S] boundaries) plus the previous solve's
+    upward fluxes; returns (F_down, F_up, Fc_down, Fc_up) fp64.
+
+    tile_s = 256: the non-iso kernel holds 2x the iso kernel's arrays
+    (two half-layer recurrences), and the double-buffered tile pipeline
+    must stay inside the ~16 MB VMEM budget.
+    """
+    from helios_tpu.ops import df64
+
+    L, S = a_up.shape
+    out_dtype = a_up.dtype
+    tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
+    s_pad = tile_s * ((S + tile_s - 1) // tile_s)
+    n_tiles = s_pad // tile_s
+
+    def pair(x):
+        return df64.split(_pad_to(x, s_pad))
+
+    ins = []
+    for arr in (a_up, b_up, src_up_down, src_up_up,
+                a_low, b_low, src_low_down, src_low_up):
+        ins.extend(pair(arr))
+    for arr in (toa, boa_refl, boa_emis, F_dir0):
+        ins.extend(pair(arr[None, :]))
+    ins.extend(pair(F_up_prev))
+    ins.extend(pair(Fc_up_prev))
+
+    lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    int_spec = pl.BlockSpec((L + 1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_noniso_sweep_kernel_df64, nlayer=L,
+                    n_passes=n_passes),
+            grid=(n_tiles,),
+            in_specs=([lay_spec] * 16 + [row_spec] * 8
+                      + [int_spec] * 2 + [lay_spec] * 2),
+            out_specs=(int_spec, int_spec, int_spec, int_spec,
+                       lay_spec, lay_spec, lay_spec, lay_spec),
+            out_shape=(
+                (jax.ShapeDtypeStruct((L + 1, s_pad), f32),) * 4
+                + (jax.ShapeDtypeStruct((L, s_pad), f32),) * 4),
+            scratch_shapes=[pltpu.VMEM((L, tile_s), f32)] * 4,
+            interpret=_use_interpret(),
+        )(*ins)
+
+    fdh, fdl, fuh, ful, fcdh, fcdl, fcuh, fcul = out
+    comb = lambda h, l: df64.combine(df64.DF(h, l), out_dtype)[:, :S]
+    return (comb(fdh, fdl), comb(fuh, ful),
+            comb(fcdh, fcdl), comb(fcuh, fcul))
 
 
 def fband_iso_pallas(cells, planckband_lay, F_dir, surf_albedo, F_up_prev,

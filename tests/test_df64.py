@@ -94,6 +94,32 @@ def test_df64_pallas_sweep_matches_scan(rng, n_passes):
                                    rtol=1e-12)
 
 
+@pytest.mark.parametrize("n_passes", [1, 4])
+def test_df64_pallas_noniso_matches_scan(rng, n_passes):
+    """fband_noniso_flat fp64: pallas (df64 kernel) vs lax.scan."""
+    L, S = 10, 40
+    mk = lambda lo, hi, *s: jnp.asarray(rng.uniform(lo, hi, s))
+    C = fp.FlatNonIsoCoeffs(
+        a_up=mk(0.8, 1.0, L, S), b_up=mk(0.0, 0.02, L, S),
+        src_up_down=mk(1e2, 1e4, L, S), src_up_up=mk(1e2, 1e4, L, S),
+        a_low=mk(0.8, 1.0, L, S), b_low=mk(0.0, 0.02, L, S),
+        src_low_down=mk(1e2, 1e4, L, S), src_low_up=mk(1e2, 1e4, L, S),
+        boa_refl=mk(0.0, 0.4, S), boa_emis=mk(1e2, 1e4, S),
+        toa=mk(0.0, 1e3, S))
+    F_dir0 = mk(0.0, 1e3, S)
+    F_up0 = mk(0.0, 1e3, L + 1, S)
+    Fc_up0 = mk(0.0, 1e3, L, S)
+
+    want = fp.fband_noniso_flat(C, F_dir0, F_up0, Fc_up0,
+                                n_passes=n_passes, use_pallas=False)
+    got = fp.fband_noniso_flat(C, F_dir0, F_up0, Fc_up0,
+                               n_passes=n_passes, use_pallas=True)
+    for g, w in zip(got, want):
+        assert g.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12)
+
+
 def test_fp32_pallas_dispatch(rng):
     """fp32 coefficients route to the plain fp32 kernel."""
     L, S = 6, 32
