@@ -1,0 +1,118 @@
+"""Checkpoint / resume of the RCE iteration state.
+
+The reference's only resume mechanism is re-reading a previous run's
+``*_tp.dat`` as the initial temperature profile (read.py:1274-1322,
+host_functions.py:178-184) -- which loses the adaptive-timestep
+prefactors, the oscillation-detection store, and the iteration counter,
+so a resumed run re-converges from scratch.  Here the full restartable
+radiation-loop state (temperatures, fluxes, per-layer prefactors,
+T_store, relaxed criterion, counters) is serialized every N iterations,
+so a preempted job continues exactly where it stopped -- the standard
+requirement for large TPU fleets where preemption is routine.
+
+Format: a single ``.npz`` written atomically (tmp file + rename).  The
+non-restartable members of RadLoopState (cell cache, band totals) are
+derived data and are rebuilt on restore.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helios_tpu.forward import (FluxState, ModelArrays, Phys,
+                                integrate_flux_flat)
+from helios_tpu.rce.radiative import (RadLoopState, init_rad_state,
+                                      radiation_loop)
+
+_FORMAT_VERSION = 1
+
+# RadLoopState leaves that fully determine a resume (cache/totals are
+# recomputed); FluxState is stored field-wise with a "flux__" prefix.
+_STATE_FIELDS = ("T_lay", "T_store", "prefactor", "F_smooth_sum", "abort",
+                 "it", "local_limit", "keep_running", "goto_convection",
+                 "aborted")
+
+
+def save_rad_checkpoint(path: str, state: RadLoopState) -> None:
+    """Atomically write the restartable radiation-loop state."""
+    payload = {"format_version": np.int64(_FORMAT_VERSION)}
+    for f in _STATE_FIELDS:
+        payload[f] = np.asarray(getattr(state, f))
+    for f, v in state.flux._asdict().items():
+        payload["flux__" + f] = np.asarray(v)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_rad_checkpoint(path: str) -> Optional[dict]:
+    """Read a checkpoint; None if absent."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if int(z["format_version"]) != _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path}: format {int(z['format_version'])}, "
+                f"expected {_FORMAT_VERSION}")
+        return {k: z[k] for k in z.files if k != "format_version"}
+
+
+def restore_rad_state(phys: Phys, m: ModelArrays, ckpt: dict,
+                      sset=None) -> RadLoopState:
+    """Rebuild a full RadLoopState from a checkpoint payload.
+
+    The cell cache and band totals are recomputed from the restored
+    temperatures (they are refreshed every 10th iteration anyway,
+    computation.py:860)."""
+    T_lay = jnp.asarray(ckpt["T_lay"])
+    fresh = init_rad_state(phys, m, T_lay, sset)
+    flux = FluxState(**{f: jnp.asarray(ckpt["flux__" + f])
+                        for f in fresh.flux._fields})
+    totals = integrate_flux_flat(phys, m, flux, fresh.cache.F_dir)
+    return fresh._replace(
+        flux=flux, totals=totals,
+        **{f: jnp.asarray(ckpt[f]) for f in _STATE_FIELDS})
+
+
+def run_radiation_checkpointed(phys: Phys, m: ModelArrays, thermo,
+                               T_lay0, *, path: str, every: int = 1000,
+                               sset=None) -> RadLoopState:
+    """Radiation loop in chunks of ``every`` iterations with a checkpoint
+    written after each chunk; resumes from ``path`` if it exists.
+
+    The chunking costs nothing on device (the same compiled while_loop
+    body runs with an extra iteration cap) and bounds lost work to one
+    chunk on preemption.
+    """
+    if phys.singlewalk:
+        # post-processing mode has no iteration state worth checkpointing
+        return radiation_loop(phys, m, thermo, T_lay0, sset=sset)
+
+    ckpt = load_rad_checkpoint(path)
+    if ckpt is not None:
+        state = restore_rad_state(phys, m, ckpt, sset)
+    else:
+        state = init_rad_state(phys, m, T_lay0, sset)
+
+    step = jax.jit(lambda s: radiation_loop(
+        phys, m, thermo, s.T_lay, max_steps=every, sset=sset, state0=s))
+
+    while bool(state.keep_running):
+        state = step(state)
+        jax.block_until_ready(state.T_lay)
+        save_rad_checkpoint(path, state)
+    return state

@@ -161,6 +161,8 @@ class HeliosConfig:
     n_planet_batch: int = 1         # planet-ensemble data-parallel batch
     use_pallas: Union[str, int] = "auto"  # auto, yes, no
     chunk_iters: int = 100          # device-resident iterations per host sync
+    checkpoint_every: int = 0       # iterations per checkpoint (0 = off)
+    checkpoint_path: str = ""       # default: <output_dir>/<name>/restart.ckpt.npz
 
     # ------- derived fields (populated by finalize) -------
     singlewalk: int = 0
@@ -576,6 +578,8 @@ _CLI_FLAGS = [
     ("-n_spectral_shards", "n_spectral_shards", int),
     ("-n_planet_batch", "n_planet_batch", int),
     ("-use_pallas", "use_pallas", str),
+    ("-checkpoint_every", "checkpoint_every", int),
+    ("-checkpoint_path", "checkpoint_path", str),
 ]
 
 

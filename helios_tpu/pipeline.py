@@ -8,6 +8,7 @@ writers.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -365,8 +366,17 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
 
     T0 = jnp.asarray(initial_temperatures(cfg, phys, arrays))
 
-    rad = jax.jit(
-        lambda t: radiation_loop(phys, arrays, thermo, t, sset=sset))(T0)
+    if cfg.checkpoint_every > 0 and not phys.singlewalk:
+        from helios_tpu import checkpoint as ckpt_mod
+        ckpt_path = cfg.checkpoint_path or os.path.join(
+            cfg.output_dir, cfg.name, "restart.ckpt.npz")
+        rad = ckpt_mod.run_radiation_checkpointed(
+            phys, arrays, thermo, T0, path=ckpt_path,
+            every=cfg.checkpoint_every, sset=sset)
+    else:
+        rad = jax.jit(
+            lambda t: radiation_loop(phys, arrays, thermo, t,
+                                     sset=sset))(T0)
 
     conv = None
     if phys.convection and not phys.singlewalk and not phys.iso:

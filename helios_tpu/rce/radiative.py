@@ -297,13 +297,17 @@ def init_rad_state(phys: Phys, m: ModelArrays, T_lay0,
 def radiation_loop(phys: Phys, m: ModelArrays,
                    thermo: Optional[ThermoProps], T_lay0,
                    max_steps: Optional[int] = None,
-                   sset=None) -> RadLoopState:
+                   sset=None, state0: Optional[RadLoopState] = None
+                   ) -> RadLoopState:
     """Run the radiative-equilibrium iteration to convergence on device.
 
     One jitted `lax.while_loop`; equivalent of computation.py:827-990.
-    ``max_steps`` optionally caps the loop (for chunked host monitoring).
+    ``max_steps`` optionally caps the loop (for chunked host monitoring);
+    ``state0`` continues from a prior/restored state (checkpoint resume)
+    instead of initializing from T_lay0.
     """
-    state = init_rad_state(phys, m, T_lay0, sset)
+    state = state0 if state0 is not None else init_rad_state(
+        phys, m, T_lay0, sset)
     if phys.singlewalk:
         # post-processing: one flux solve (with the 1000*scat+1 sweep
         # passes), no temperature iteration (computation.py:983-984)
