@@ -88,6 +88,24 @@ def restore_rad_state(phys: Phys, m: ModelArrays, ckpt: dict,
         **{f: jnp.asarray(ckpt[f]) for f in _STATE_FIELDS})
 
 
+class CheckpointCallback:
+    """monitor.run_radiation_chunked callback: checkpoint every N
+    iterations (and always on the final chunk)."""
+
+    def __init__(self, path: str, every: int):
+        self.path = path
+        self.every = max(int(every), 1)
+        self._last_saved = None
+
+    def __call__(self, info) -> None:
+        it = int(info.state.it)
+        done = not bool(info.state.keep_running)
+        if (self._last_saved is None or done
+                or it - self._last_saved >= self.every):
+            save_rad_checkpoint(self.path, info.state)
+            self._last_saved = it
+
+
 def run_radiation_checkpointed(phys: Phys, m: ModelArrays, thermo,
                                T_lay0, *, path: str, every: int = 1000,
                                sset=None) -> RadLoopState:

@@ -163,6 +163,9 @@ class HeliosConfig:
     chunk_iters: int = 100          # device-resident iterations per host sync
     checkpoint_every: int = 0       # iterations per checkpoint (0 = off)
     checkpoint_path: str = ""       # default: <output_dir>/<name>/restart.ckpt.npz
+    metrics_file: str = ""          # per-chunk JSONL metrics (empty = off)
+    profile_dir: str = ""           # jax.profiler trace of first chunk
+    progress: Union[str, int] = "no"  # print per-chunk progress lines
 
     # ------- derived fields (populated by finalize) -------
     singlewalk: int = 0
@@ -214,6 +217,7 @@ class HeliosConfig:
         else:
             c.n_plot = 10
             c.realtime_plot = _yes_no(c.realtime_plot)
+        c.progress = _yes_no(c.progress)
 
         # run type -> singlewalk / iso / energy correction (read.py:888-895)
         if c.run_type == "iterative":
@@ -580,6 +584,9 @@ _CLI_FLAGS = [
     ("-use_pallas", "use_pallas", str),
     ("-checkpoint_every", "checkpoint_every", int),
     ("-checkpoint_path", "checkpoint_path", str),
+    ("-metrics_file", "metrics_file", str),
+    ("-profile_dir", "profile_dir", str),
+    ("-progress", "progress", str),
 ]
 
 

@@ -366,13 +366,40 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
 
     T0 = jnp.asarray(initial_temperatures(cfg, phys, arrays))
 
-    if cfg.checkpoint_every > 0 and not phys.singlewalk:
+    monitored = (cfg.checkpoint_every > 0 or cfg.realtime_plot
+                 or cfg.metrics_file or cfg.profile_dir
+                 or cfg.progress) and not phys.singlewalk
+    if monitored:
         from helios_tpu import checkpoint as ckpt_mod
-        ckpt_path = cfg.checkpoint_path or os.path.join(
-            cfg.output_dir, cfg.name, "restart.ckpt.npz")
-        rad = ckpt_mod.run_radiation_checkpointed(
-            phys, arrays, thermo, T0, path=ckpt_path,
-            every=cfg.checkpoint_every, sset=sset)
+        from helios_tpu import monitor as monitor_mod
+
+        callbacks = []
+        state0 = None
+        if cfg.checkpoint_every > 0:
+            ckpt_path = cfg.checkpoint_path or os.path.join(
+                cfg.output_dir, cfg.name, "restart.ckpt.npz")
+            ckpt = ckpt_mod.load_rad_checkpoint(ckpt_path)
+            if ckpt is not None:
+                state0 = ckpt_mod.restore_rad_state(phys, arrays, ckpt,
+                                                    sset)
+            callbacks.append(ckpt_mod.CheckpointCallback(
+                ckpt_path, cfg.checkpoint_every))
+        if cfg.progress:
+            callbacks.append(monitor_mod.ProgressPrinter(phys.nlayer))
+        if cfg.metrics_file:
+            callbacks.append(monitor_mod.MetricsWriter(cfg.metrics_file))
+        if cfg.realtime_plot:
+            callbacks.append(monitor_mod.PlotCallback(phys))
+
+        chunk = cfg.chunk_iters
+        if cfg.checkpoint_every > 0:
+            chunk = min(chunk, cfg.checkpoint_every)
+        if cfg.realtime_plot:
+            chunk = min(chunk, cfg.n_plot)
+        rad = monitor_mod.run_radiation_chunked(
+            phys, arrays, thermo, T0, chunk_iters=chunk, sset=sset,
+            callbacks=callbacks, state0=state0,
+            profile_dir=cfg.profile_dir or None)
     else:
         rad = jax.jit(
             lambda t: radiation_loop(phys, arrays, thermo, t,

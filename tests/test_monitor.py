@@ -1,0 +1,85 @@
+"""Chunked monitored radiation loop: trajectory parity + callbacks."""
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from helios_tpu import monitor as mon
+from helios_tpu.config import HeliosConfig
+from helios_tpu.forward import build_model
+from helios_tpu.io.opacity import synthetic_premixed_table
+from helios_tpu.rce import radiative as rad_mod
+
+
+def _small_model(**over):
+    table = synthetic_premixed_table(nbin=16, ny=4, ntemp=12, npress=10,
+                                     seed=3)
+    kw = dict(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+              R_star=1.0, T_star=4000.0, T_intern=200.0,
+              scattering="no", direct_beam="no", convection="no",
+              run_type="iterative", iso_input="yes", nlayer=12,
+              p_boa=1e8, p_toa=1e3, rad_convergence_limit=1e-6)
+    kw.update(over)
+    cfg = HeliosConfig(**kw).finalize()
+    phys, arrays = build_model(cfg, table)
+    return cfg, phys, arrays
+
+
+def test_chunked_trajectory_matches_single_while_loop():
+    _, phys, arrays = _small_model()
+    T0 = jnp.full(phys.nlayer + 1, 1000.0)
+
+    straight = jax.jit(lambda t: rad_mod.radiation_loop(
+        phys, arrays, None, t))(T0)
+    chunked = mon.run_radiation_chunked(phys, arrays, None, T0,
+                                        chunk_iters=37)
+
+    assert int(chunked.it) == int(straight.it)
+    np.testing.assert_array_equal(np.asarray(chunked.T_lay),
+                                  np.asarray(straight.T_lay))
+
+
+def test_callbacks_see_monotonic_progress(tmp_path):
+    _, phys, arrays = _small_model()
+    T0 = jnp.full(phys.nlayer + 1, 1000.0)
+
+    seen = []
+    metrics = mon.MetricsWriter(str(tmp_path / "m.jsonl"))
+    progress = mon.ProgressPrinter(phys.nlayer, stream=open(
+        str(tmp_path / "progress.txt"), "w"))
+    state = mon.run_radiation_chunked(
+        phys, arrays, None, T0, chunk_iters=50,
+        callbacks=[lambda i: seen.append(int(i.state.it)), metrics,
+                   progress])
+
+    assert seen == sorted(seen) and seen[-1] == int(state.it)
+    assert all(b - a <= 50 for a, b in zip(seen, seen[1:]))
+
+    recs = [json.loads(l) for l in
+            open(str(tmp_path / "m.jsonl")).read().splitlines()]
+    assert len(recs) == len(seen)
+    assert recs[-1]["iteration"] == int(state.it)
+    assert recs[-1]["converged_layers"] == phys.nlayer + 1
+    assert recs[0]["it_per_s"] > 0
+
+    lines = open(str(tmp_path / "progress.txt")).read().splitlines()
+    assert len(lines) == len(seen) and "converged layers" in lines[0]
+
+
+def test_pipeline_run_with_monitoring(tmp_path):
+    """pipeline.run wires progress/metrics/checkpoint callbacks."""
+    from helios_tpu import pipeline
+
+    table = synthetic_premixed_table(nbin=16, ny=4, ntemp=12, npress=10,
+                                     seed=3)
+    cfg, phys, arrays = _small_model(
+        name="mon", output_dir=str(tmp_path),
+        metrics_file=str(tmp_path / "metrics.jsonl"),
+        checkpoint_every=100, progress="yes")
+    out = pipeline.run(cfg, table=table, write_output=False)
+    assert bool(jnp.all(out.rad.abort))
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert (tmp_path / "mon" / "restart.ckpt.npz").exists()
