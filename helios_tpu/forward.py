@@ -570,8 +570,16 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
 
 
 def integrate_flux_flat(phys: Phys, m: ModelArrays, flux_state: FluxState,
-                        F_dir_flat) -> int_ops.FluxTotals:
-    """Band + total integration from flat fluxes (kernels.cu:2428-2513)."""
+                        F_dir_flat, axis_name: Optional[str] = None
+                        ) -> int_ops.FluxTotals:
+    """Band + total integration from flat fluxes (kernels.cu:2428-2513).
+
+    ``axis_name``: mesh axis holding spectral shards (when called inside
+    shard_map); the band->total reduction then psums the partial sums
+    across chips -- the only collective in the whole RCE iteration
+    (SURVEY.md section 2.4: band integrals ride ICI, all other physics is
+    bin-local).
+    """
     from helios_tpu import fastpath as fp
     F_down_band = fp.gauss_band_flat(flux_state.F_down, m.gauss_weight)
     F_up_band = fp.gauss_band_flat(flux_state.F_up, m.gauss_weight)
@@ -580,6 +588,9 @@ def integrate_flux_flat(phys: Phys, m: ModelArrays, flux_state: FluxState,
     F_up_tot = jnp.sum(F_up_band * m.delta_lambda, axis=-1)
     F_down_tot = jnp.sum((F_dir_band + F_down_band) * m.delta_lambda,
                          axis=-1)
+    if axis_name is not None:
+        F_up_tot = jax.lax.psum(F_up_tot, axis_name)
+        F_down_tot = jax.lax.psum(F_down_tot, axis_name)
     return int_ops.FluxTotals(
         F_down_band=F_down_band, F_up_band=F_up_band,
         F_dir_band=F_dir_band, F_down_tot=F_down_tot, F_up_tot=F_up_tot,
@@ -587,13 +598,18 @@ def integrate_flux_flat(phys: Phys, m: ModelArrays, flux_state: FluxState,
 
 
 def forward_fluxes(phys: Phys, m: ModelArrays, T_lay,
-                   flux_state: Optional[FluxState] = None, sset=None
+                   flux_state: Optional[FluxState] = None, sset=None,
+                   axis_name: Optional[str] = None
                    ) -> Tuple[FluxState, int_ops.FluxTotals, CellCache]:
-    """Full forward model: temperatures -> integrated fluxes."""
+    """Full forward model: temperatures -> integrated fluxes.
+
+    ``axis_name``: spectral mesh axis when running inside shard_map (the
+    model arrays then hold this chip's wavelength shard)."""
     if flux_state is None:
         flux_state = init_flux_state(phys, T_lay.dtype)
     T_int = interp_ops.interface_temperatures(T_lay)
     cache = compute_cells(phys, m, T_lay, T_int, sset)
     flux_state = solve_fluxes(phys, m, cache, T_lay, flux_state)
-    totals = integrate_flux_flat(phys, m, flux_state, cache.F_dir)
+    totals = integrate_flux_flat(phys, m, flux_state, cache.F_dir,
+                                 axis_name)
     return flux_state, totals, cache

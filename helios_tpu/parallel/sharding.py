@@ -12,10 +12,17 @@ the from-scratch TPU scaling design:
 * **planet axis (DCN-friendly)**: independent atmospheres batched with
   `vmap`; no communication at all.
 
-Everything uses `jax.sharding.NamedSharding` + `jit` (GSPMD auto
-partitioning): we annotate inputs, XLA inserts the collectives -- the
-scaling-book recipe.  The layer recursion (a `lax.scan` with [bin, y]
-carries) partitions trivially because bins are independent.
+Two mechanisms:
+* `sharded_forward` uses `NamedSharding` + `jit` (GSPMD auto
+  partitioning) -- fine for the pure-XLA scan path.
+* The RCE loop entry points (`sharded_radiation_loop`,
+  `batched_rce_step`) use **shard_map**: the fused Pallas sweep kernels
+  are custom calls GSPMD cannot partition, so each chip explicitly runs
+  the loop on its local wavelength shard.  The band->total `psum` inside
+  `integrate_flux_flat` is the single per-iteration collective and makes
+  all convergence predicates replica-identical, so chips iterate in
+  lockstep.  The layer recursion needs no communication at all (bins are
+  independent).
 """
 
 from __future__ import annotations
@@ -113,31 +120,123 @@ def sharded_forward(phys: Phys, mesh: Mesh):
     return fwd
 
 
+AXIS = "spectral"
+
+
+def _spec(*dims, planet: bool = False):
+    return P(*((("planet",) if planet else ()) + dims))
+
+
+def _rad_state_specs(planet: bool = False):
+    """PartitionSpec pytree mirroring RadLoopState for shard_map.
+
+    Spectral ([.., S] or [.., B]) leaves shard their last axis; layer
+    vectors and scalars are replicated (optionally with a leading planet
+    axis).  Keep in sync with FlatCells / CellCache / FluxState /
+    FluxTotals / RadLoopState field lists.
+    """
+    from helios_tpu import fastpath as fpath
+    from helios_tpu.forward import CellCache, FluxState
+    from helios_tpu.ops.integrate import FluxTotals
+    from helios_tpu.rce.radiative import RadLoopState
+
+    sp = _spec(None, AXIS, planet=planet)     # [.., L/I, S]
+    rep1 = _spec(None, planet=planet)         # [.., L/I]
+    rep0 = _spec(planet=planet)               # scalars
+    cells = fpath.FlatCells(*([sp] * len(fpath.FlatCells._fields)))
+    cache = CellCache(
+        cells_or_upper=cells, lower=cells,
+        scat_trigger=_spec(AXIS, planet=planet),
+        F_dir=sp, Fc_dir=sp, meanmolmass_lay=rep1, z_lay=rep1,
+        opac_lay=sp, scat_cross_lay=sp,
+        F_add_heat_lay=rep1, F_add_heat_sum=rep1)
+    flux = FluxState(F_down=sp, F_up=sp, Fc_down=sp, Fc_up=sp)
+    totals = FluxTotals(F_down_band=sp, F_up_band=sp, F_dir_band=sp,
+                        F_down_tot=rep1, F_up_tot=rep1, F_net=rep1)
+    return RadLoopState(
+        T_lay=rep1, flux=flux, cache=cache, totals=totals, T_store=rep1,
+        prefactor=rep1, F_smooth_sum=rep1, abort=rep1, it=rep0,
+        local_limit=rep0, keep_running=rep0, goto_convection=rep0,
+        aborted=rep0)
+
+
+def _phys_local(phys: Phys, mesh: Mesh) -> Phys:
+    """Phys with the per-chip wavelength-bin count (inside shard_map every
+    spectral array holds only this chip's shard)."""
+    import dataclasses
+    n = mesh.shape[AXIS]
+    assert phys.nbin % n == 0, (
+        f"nbin {phys.nbin} not divisible by spectral axis {n}")
+    return dataclasses.replace(phys, nbin=phys.nbin // n)
+
+
+def sharded_radiation_loop(phys: Phys, mesh: Mesh,
+                           thermo: Optional[ThermoProps],
+                           max_steps: Optional[int] = None):
+    """The full RCE radiation loop under shard_map: each chip runs the
+    while_loop on its wavelength shard; the band->total psum keeps every
+    convergence predicate replica-identical, so all chips iterate in
+    lockstep with ONE collective per iteration riding ICI.
+
+    shard_map (not GSPMD auto-sharding) is required here: the fused
+    Pallas sweep kernels are custom calls the partitioner cannot split,
+    so each chip must invoke them on its local shard explicitly.
+
+    Returns jitted ``run(m_sharded, T0_batch) -> RadLoopState`` where
+    T0_batch is [n_planet_local_total, L+1] sharded over the planet axis
+    (use n_planet = mesh planet size for one planet per planet-group).
+    """
+    from jax import shard_map
+
+    from helios_tpu.rce.radiative import radiation_loop
+
+    phys_l = _phys_local(phys, mesh)
+    m_specs = ModelArrays(**_MODEL_SPECS)
+
+    def body(m_local, T0_local):
+        run_one = lambda t: radiation_loop(
+            phys_l, m_local, thermo, t, max_steps=max_steps,
+            axis_name=AXIS)
+        return jax.vmap(run_one)(T0_local)
+
+    shm = shard_map(body, mesh=mesh,
+                    in_specs=(m_specs, _spec(None, planet=True)),
+                    out_specs=_rad_state_specs(planet=True),
+                    check_vma=False)
+    return jax.jit(shm)
+
+
 def batched_rce_step(phys: Phys, mesh: Mesh, thermo: Optional[ThermoProps]):
     """The full per-iteration RCE "training step", batched over a planet
-    ensemble and sharded over the spectral axis.
+    ensemble and sharded over the spectral axis via shard_map.
 
     Step = flux solve + integration + radiative temperature update
     (the body of the radiation loop).  Input/output state is a
     RadLoopState pytree with a leading planet-batch axis.
     """
-    from helios_tpu.rce.radiative import (RadLoopState,
-                                          _one_radiation_iteration,
+    from jax import shard_map
+
+    from helios_tpu.rce.radiative import (_one_radiation_iteration,
                                           init_rad_state)
 
-    def one_planet(m, state):
-        return _one_radiation_iteration(phys, m, thermo, state)
+    phys_l = _phys_local(phys, mesh)
+    m_specs = ModelArrays(**_MODEL_SPECS)
+    state_specs = _rad_state_specs(planet=True)
 
-    m_sh = model_shardings(mesh)
-    planet_sh = NamedSharding(mesh, P("planet"))
+    def step_body(m_local, state_local):
+        one = lambda s: _one_radiation_iteration(phys_l, m_local, thermo,
+                                                 s, axis_name=AXIS)
+        return jax.vmap(one)(state_local)
 
-    @partial(jax.jit, out_shardings=planet_sh)
-    def step(m, state_batch):
-        return jax.vmap(lambda s: one_planet(m, s))(state_batch)
+    def init_body(m_local, T0_local):
+        one = lambda t: init_rad_state(phys_l, m_local, t, axis_name=AXIS)
+        return jax.vmap(one)(T0_local)
 
-    @partial(jax.jit, in_shardings=(m_sh, planet_sh),
-             out_shardings=planet_sh)
-    def init(m, T0_batch):
-        return jax.vmap(lambda t: init_rad_state(phys, m, t))(T0_batch)
-
+    step = jax.jit(shard_map(
+        step_body, mesh=mesh, in_specs=(m_specs, state_specs),
+        out_specs=state_specs, check_vma=False))
+    init = jax.jit(shard_map(
+        init_body, mesh=mesh,
+        in_specs=(m_specs, _spec(None, planet=True)),
+        out_specs=state_specs, check_vma=False))
     return init, step

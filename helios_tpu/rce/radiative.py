@@ -205,8 +205,13 @@ class RadLoopState(NamedTuple):
 
 def _one_radiation_iteration(phys: Phys, m: ModelArrays,
                              thermo: Optional[ThermoProps],
-                             s: RadLoopState, sset=None) -> RadLoopState:
-    """Body of the radiation loop (computation.py:851-981)."""
+                             s: RadLoopState, sset=None,
+                             axis_name=None) -> RadLoopState:
+    """Body of the radiation loop (computation.py:851-981).
+
+    ``axis_name``: spectral mesh axis when running inside shard_map; the
+    band->total psum makes totals (and so every convergence predicate)
+    replica-identical across chips."""
     L = phys.nlayer
     T_int = interp_ops.interface_temperatures(s.T_lay)
 
@@ -217,7 +222,7 @@ def _one_radiation_iteration(phys: Phys, m: ModelArrays,
         lambda: s.cache)
 
     flux = solve_fluxes(phys, m, cache, s.T_lay, s.flux)
-    totals = integrate_flux_flat(phys, m, flux, cache.F_dir)
+    totals = integrate_flux_flat(phys, m, flux, cache.F_dir, axis_name)
 
     if phys.physical_tstep != 0.0 and thermo is not None:
         _kappa_lay, c_p_lay = kappa_cp_lay(thermo, s.T_lay, m.p_lay)
@@ -274,13 +279,13 @@ def _one_radiation_iteration(phys: Phys, m: ModelArrays,
 
 
 def init_rad_state(phys: Phys, m: ModelArrays, T_lay0,
-                   sset=None) -> RadLoopState:
+                   sset=None, axis_name=None) -> RadLoopState:
     L = phys.nlayer
     dtype = T_lay0.dtype
     T_int = interp_ops.interface_temperatures(T_lay0)
     cache = compute_cells(phys, m, T_lay0, T_int, sset)
     flux = init_flux_state(phys, dtype)
-    totals = integrate_flux_flat(phys, m, flux, cache.F_dir)
+    totals = integrate_flux_flat(phys, m, flux, cache.F_dir, axis_name)
     return RadLoopState(
         T_lay=T_lay0, flux=flux, cache=cache, totals=totals,
         T_store=jnp.zeros(L + 1, dtype),
@@ -297,8 +302,8 @@ def init_rad_state(phys: Phys, m: ModelArrays, T_lay0,
 def radiation_loop(phys: Phys, m: ModelArrays,
                    thermo: Optional[ThermoProps], T_lay0,
                    max_steps: Optional[int] = None,
-                   sset=None, state0: Optional[RadLoopState] = None
-                   ) -> RadLoopState:
+                   sset=None, state0: Optional[RadLoopState] = None,
+                   axis_name=None) -> RadLoopState:
     """Run the radiative-equilibrium iteration to convergence on device.
 
     One jitted `lax.while_loop`; equivalent of computation.py:827-990.
@@ -307,12 +312,13 @@ def radiation_loop(phys: Phys, m: ModelArrays,
     instead of initializing from T_lay0.
     """
     state = state0 if state0 is not None else init_rad_state(
-        phys, m, T_lay0, sset)
+        phys, m, T_lay0, sset, axis_name)
     if phys.singlewalk:
         # post-processing: one flux solve (with the 1000*scat+1 sweep
         # passes), no temperature iteration (computation.py:983-984)
         flux = solve_fluxes(phys, m, state.cache, state.T_lay, state.flux)
-        totals = integrate_flux_flat(phys, m, flux, state.cache.F_dir)
+        totals = integrate_flux_flat(phys, m, flux, state.cache.F_dir,
+                                     axis_name)
         return state._replace(flux=flux, totals=totals)
 
     start_it = state.it
@@ -324,5 +330,7 @@ def radiation_loop(phys: Phys, m: ModelArrays,
         return c
 
     return jax.lax.while_loop(
-        cond, lambda s: _one_radiation_iteration(phys, m, thermo, s, sset),
+        cond,
+        lambda s: _one_radiation_iteration(phys, m, thermo, s, sset,
+                                           axis_name),
         state)

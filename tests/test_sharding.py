@@ -72,3 +72,29 @@ def test_batched_rce_step_matches_per_planet_loop():
         np.testing.assert_allclose(np.asarray(state.totals.F_net[p]),
                                    np.asarray(want.totals.F_net), rtol=1e-8)
         assert int(state.it[p]) == int(want.it) == 3
+
+
+def test_sharded_radiation_loop_matches_single_device():
+    """Full while_loop under shard_map == unsharded loop, per planet."""
+    from helios_tpu.rce.radiative import radiation_loop
+
+    phys, arrays = _setup()
+    n_planet = 2
+    mesh = shd.make_mesh(n_planet=n_planet, n_spectral=4)
+    m_sharded = shd.place_model(arrays, mesh)
+
+    T0s = jnp.stack([jnp.full(phys.nlayer + 1, 900.0 + 150.0 * p)
+                     for p in range(n_planet)])
+    run = shd.sharded_radiation_loop(phys, mesh, None, max_steps=120)
+    state = run(m_sharded, T0s)
+
+    for p in range(n_planet):
+        want = jax.jit(lambda t: radiation_loop(
+            phys, arrays, None, t, max_steps=120))(T0s[p])
+        assert int(state.it[p]) == int(want.it)
+        np.testing.assert_allclose(
+            np.asarray(state.T_lay[p]), np.asarray(want.T_lay),
+            rtol=1e-12, atol=0)
+        np.testing.assert_allclose(
+            np.asarray(state.totals.F_net[p]), np.asarray(want.totals.F_net),
+            rtol=1e-9)
