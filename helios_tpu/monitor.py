@@ -86,6 +86,42 @@ def run_radiation_chunked(phys: Phys, m: ModelArrays, thermo, T_lay0, *,
     return state
 
 
+def run_convection_chunked(phys: Phys, m: ModelArrays, thermo, rad, *,
+                           chunk_iters: int = 100, sset=None,
+                           callbacks: Sequence[Callback] = ()):
+    """Convection loop with host observation every ``chunk_iters`` steps
+    (same continuation mechanism as run_radiation_chunked)."""
+    from helios_tpu.rce.loop import convection_loop
+
+    state = jax.jit(lambda r: convection_loop(
+        phys, m, thermo, r, max_steps=0, sset=sset))(rad)
+
+    step = jax.jit(lambda s: convection_loop(
+        phys, m, thermo, rad, max_steps=chunk_iters, sset=sset,
+        state0=s))
+
+    while bool(state.keep_running):
+        it_before = int(state.it)
+        t0 = time.perf_counter()
+        state = step(state)
+        jax.block_until_ready(state.T_lay)
+        info = ChunkInfo(state=state, its_done=int(state.it) - it_before,
+                         wall_s=time.perf_counter() - t0,
+                         phase="convection")
+        for cb in callbacks:
+            cb(info)
+    return state
+
+
+def _converged_layers(state) -> int:
+    """Converged-layer count for either loop state: the radiation loop
+    carries per-layer abort flags; the convection loop tracks the
+    non-converged radiative layers as marked_red."""
+    if hasattr(state, "abort"):
+        return int(jnp.sum(state.abort))
+    return int(jnp.sum(~state.marked_red))
+
+
 class ProgressPrinter:
     """Reference-style progress lines (computation.py:902-905, 934-935)."""
 
@@ -95,8 +131,9 @@ class ProgressPrinter:
 
     def __call__(self, info: ChunkInfo) -> None:
         s = info.state
-        n_conv = int(jnp.sum(s.abort))
-        line = (f"iteration {int(s.it):6d} | converged layers "
+        n_conv = _converged_layers(s)
+        line = (f"[{info.phase[:4]}] iteration {int(s.it):6d} "
+                f"| converged layers "
                 f"{n_conv}/{self.nlayer + 1} | criterion "
                 f"{float(s.local_limit):.1e} | "
                 f"{info.wall_s / max(info.its_done, 1) * 1e3:6.2f} ms/iter"
@@ -122,7 +159,7 @@ class MetricsWriter:
             "chunk_iters": info.its_done,
             "wall_s": round(info.wall_s, 6),
             "it_per_s": round(info.its_done / max(info.wall_s, 1e-9), 2),
-            "converged_layers": int(jnp.sum(s.abort)),
+            "converged_layers": _converged_layers(s),
             "criterion": float(s.local_limit),
             "T_min": float(jnp.min(s.T_lay)),
             "T_max": float(jnp.max(s.T_lay)),
@@ -150,11 +187,17 @@ class PlotCallback:
         save = (os.path.join(self.save_dir,
                              f"frame_{int(s.it):06d}.png")
                 if self.save_dir else None)
+        if hasattr(s, "abort"):
+            marked_red = ~np.asarray(s.abort)
+            conv_layer = None
+        else:
+            marked_red = np.asarray(s.marked_red)
+            conv_layer = np.asarray(s.conv_layer)
         self.plot.plot_tp_and_flux(
             T_lay=np.asarray(s.T_lay), F_net=np.asarray(s.totals.F_net),
             F_intern=self.phys.F_intern, p_boa=self.phys.p_boa,
             p_toa=self.phys.p_toa,
-            marked_red=~np.asarray(s.abort),
+            marked_red=marked_red, conv_layer=conv_layer,
             iter_value=int(s.it), savefig=save)
         if self.plot.interactive:
             import matplotlib.pyplot as plt

@@ -373,8 +373,16 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         from helios_tpu import checkpoint as ckpt_mod
         from helios_tpu import monitor as monitor_mod
 
-        callbacks = []
+        obs_callbacks = []   # observability only (reused by convection)
         state0 = None
+        if cfg.progress:
+            obs_callbacks.append(monitor_mod.ProgressPrinter(phys.nlayer))
+        if cfg.metrics_file:
+            obs_callbacks.append(
+                monitor_mod.MetricsWriter(cfg.metrics_file))
+        if cfg.realtime_plot:
+            obs_callbacks.append(monitor_mod.PlotCallback(phys))
+        callbacks = list(obs_callbacks)
         if cfg.checkpoint_every > 0:
             ckpt_path = cfg.checkpoint_path or os.path.join(
                 cfg.output_dir, cfg.name, "restart.ckpt.npz")
@@ -384,12 +392,6 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
                                                     sset)
             callbacks.append(ckpt_mod.CheckpointCallback(
                 ckpt_path, cfg.checkpoint_every))
-        if cfg.progress:
-            callbacks.append(monitor_mod.ProgressPrinter(phys.nlayer))
-        if cfg.metrics_file:
-            callbacks.append(monitor_mod.MetricsWriter(cfg.metrics_file))
-        if cfg.realtime_plot:
-            callbacks.append(monitor_mod.PlotCallback(phys))
 
         chunk = cfg.chunk_iters
         if cfg.checkpoint_every > 0:
@@ -407,9 +409,15 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
 
     conv = None
     if phys.convection and not phys.singlewalk and not phys.iso:
-        conv = jax.jit(
-            lambda r: convection_loop(phys, arrays, thermo, r,
-                                      sset=sset))(rad)
+        if monitored:
+            from helios_tpu import monitor as monitor_mod
+            conv = monitor_mod.run_convection_chunked(
+                phys, arrays, thermo, rad, chunk_iters=chunk,
+                sset=sset, callbacks=obs_callbacks)
+        else:
+            conv = jax.jit(
+                lambda r: convection_loop(phys, arrays, thermo, r,
+                                          sset=sset))(rad)
         final_T = conv.T_lay
         flux_state = conv.flux
         F_smooth_sum = conv.F_smooth_sum

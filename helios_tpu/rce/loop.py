@@ -179,15 +179,35 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
 def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
                     rad: RadLoopState,
                     max_steps: Optional[int] = None,
-                    sset=None) -> ConvLoopState:
+                    sset=None,
+                    state0: Optional[ConvLoopState] = None
+                    ) -> ConvLoopState:
     """Run the radiative-convective interplay to equilibrium on device.
 
     Entered from the final radiation-loop state; like the reference, the
     loop only runs when convection is enabled, mode is non-isothermal, and
     an instability is present (computation.py:996-1009).
+
+    ``max_steps`` caps this call (chunked host monitoring, relative to
+    the entry iteration); ``state0`` continues a previous chunk instead
+    of initializing from ``rad``.
     """
     L = phys.nlayer
     dtype = rad.T_lay.dtype
+
+    if state0 is not None:
+        start_it = state0.it
+
+        def cond0(s):
+            c = s.keep_running
+            if max_steps is not None:
+                c = c & (s.it - start_it < max_steps)
+            return c
+
+        return jax.lax.while_loop(
+            cond0,
+            lambda s: _one_convection_iteration(phys, m, thermo, s, sset),
+            state0)
 
     state = ConvLoopState(
         T_lay=rad.T_lay, flux=rad.flux, cache=rad.cache, totals=rad.totals,

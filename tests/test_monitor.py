@@ -83,3 +83,52 @@ def test_pipeline_run_with_monitoring(tmp_path):
     assert bool(jnp.all(out.rad.abort))
     assert (tmp_path / "metrics.jsonl").exists()
     assert (tmp_path / "mon" / "restart.ckpt.npz").exists()
+
+
+def test_convection_chunked_matches_straight(tmp_path):
+    """Chunked convection loop == single while_loop run, incl. callbacks."""
+    from helios_tpu import monitor as mon2
+    from helios_tpu.io.opacity import synthetic_premixed_table
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import make_const_thermo, radiation_loop
+
+    table = synthetic_premixed_table(nbin=12, ny=3, ntemp=12, npress=10,
+                                     seed=5)
+    table.kpoints *= 10.0
+    cfg = HeliosConfig(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                       R_star=1.0, T_star=30.0, T_intern=700.0,
+                       scattering="no", direct_beam="no", convection="yes",
+                       kappa_value=0.1, run_type="iterative", nlayer=14,
+                       p_boa=1e9, p_toa=1e3,
+                       rad_convergence_limit=1e-5,
+                       adapt_interval=6).finalize()
+    phys, arrays = build_model(cfg, table)
+    thermo = make_const_thermo(cfg.kappa_value)
+
+    T0 = jnp.full(phys.nlayer + 1, 900.0)
+    rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t))(T0)
+    straight = jax.jit(lambda r: convection_loop(
+        phys, arrays, thermo, r, max_steps=600))(rad)
+
+    seen = []
+    chunked = mon2.run_convection_chunked(
+        phys, arrays, thermo, rad, chunk_iters=150,
+        callbacks=[lambda i: seen.append((i.phase, int(i.state.it)))])
+    # straight run capped at 600; compare at the same iteration count
+    if int(chunked.it) > 600:
+        chunked600 = None
+        # re-run chunked with a cap matching the straight run
+        state = jax.jit(lambda r: convection_loop(
+            phys, arrays, thermo, r, max_steps=0))(rad)
+        for _ in range(4):
+            state = jax.jit(lambda s: convection_loop(
+                phys, arrays, thermo, rad, max_steps=150,
+                state0=s))(state)
+        chunked600 = state
+    else:
+        chunked600 = chunked
+    assert int(chunked600.it) == int(straight.it)
+    np.testing.assert_array_equal(np.asarray(chunked600.T_lay),
+                                  np.asarray(straight.T_lay))
+    assert all(ph == "convection" for ph, _ in seen)
+    assert [it for _, it in seen] == sorted(it for _, it in seen)
