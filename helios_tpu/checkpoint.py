@@ -38,6 +38,11 @@ _STATE_FIELDS = ("T_lay", "T_store", "prefactor", "F_smooth_sum", "abort",
                  "it", "local_limit", "keep_running", "goto_convection",
                  "aborted")
 
+# ConvLoopState restartable leaves (same recompute rule for cache/totals)
+_CONV_FIELDS = ("T_lay", "T_store", "prefactor", "F_smooth_sum",
+                "conv_layer", "marked_red", "it", "local_limit",
+                "keep_running", "aborted")
+
 
 def save_rad_checkpoint(path: str, state: RadLoopState) -> None:
     """Atomically write the restartable radiation-loop state."""
@@ -71,6 +76,16 @@ def load_rad_checkpoint(path: str) -> Optional[dict]:
         return {k: z[k] for k in z.files if k != "format_version"}
 
 
+load_conv_checkpoint = load_rad_checkpoint   # same container format
+
+
+def checkpoint_phase(ckpt: dict) -> str:
+    """"radiation" or "convection" (files predating the phase tag are
+    radiation checkpoints)."""
+    ph = ckpt.get("phase")
+    return bytes(ph).decode() if ph is not None else "radiation"
+
+
 def restore_rad_state(phys: Phys, m: ModelArrays, ckpt: dict,
                       sset=None) -> RadLoopState:
     """Rebuild a full RadLoopState from a checkpoint payload.
@@ -86,6 +101,86 @@ def restore_rad_state(phys: Phys, m: ModelArrays, ckpt: dict,
     return fresh._replace(
         flux=flux, totals=totals,
         **{f: jnp.asarray(ckpt[f]) for f in _STATE_FIELDS})
+
+
+def save_conv_checkpoint(path: str, state) -> None:
+    """Atomically write the restartable convection-loop state.
+
+    Unlike the radiation body, the convection body consumes the PREVIOUS
+    iteration's band totals and two cache fields (mean molecular mass,
+    cumulative additional-heating flux) in the convective adjustment
+    BEFORE the 10-step cache refresh, so those are serialized too."""
+    payload = {"format_version": np.int64(_FORMAT_VERSION),
+               "phase": np.bytes_(b"convection")}
+    for f in _CONV_FIELDS:
+        payload[f] = np.asarray(getattr(state, f))
+    for f, v in state.flux._asdict().items():
+        payload["flux__" + f] = np.asarray(v)
+    for f, v in state.totals._asdict().items():
+        payload["totals__" + f] = np.asarray(v)
+    payload["cache__meanmolmass_lay"] = np.asarray(
+        state.cache.meanmolmass_lay)
+    payload["cache__F_add_heat_sum"] = np.asarray(
+        state.cache.F_add_heat_sum)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def restore_conv_state(phys: Phys, m: ModelArrays, ckpt: dict, sset=None):
+    """Rebuild a ConvLoopState from a checkpoint payload.
+
+    The bulk cell cache is recomputed from the restored temperatures; the
+    stale fields the body reads before the refresh (totals,
+    meanmolmass_lay, F_add_heat_sum) come from the checkpoint.  Resume is
+    bitwise-exact when the checkpoint interval is a multiple of the
+    10-iteration cache-refresh cadence, equivalent-but-not-bitwise
+    otherwise.
+    """
+    from helios_tpu.forward import compute_cells
+    from helios_tpu.ops import interp as interp_ops
+    from helios_tpu.ops.integrate import FluxTotals
+    from helios_tpu.rce.loop import ConvLoopState
+
+    T_lay = jnp.asarray(ckpt["T_lay"])
+    T_int = interp_ops.interface_temperatures(T_lay)
+    cache = compute_cells(phys, m, T_lay, T_int, sset)
+    cache = cache._replace(
+        meanmolmass_lay=jnp.asarray(ckpt["cache__meanmolmass_lay"]),
+        F_add_heat_sum=jnp.asarray(ckpt["cache__F_add_heat_sum"]))
+    flux = FluxState(**{f: jnp.asarray(ckpt["flux__" + f])
+                        for f in FluxState._fields})
+    totals = FluxTotals(**{f: jnp.asarray(ckpt["totals__" + f])
+                           for f in FluxTotals._fields})
+    return ConvLoopState(
+        cache=cache, flux=flux, totals=totals,
+        **{f: jnp.asarray(ckpt[f]) for f in _CONV_FIELDS})
+
+
+class ConvCheckpointCallback:
+    """monitor.run_convection_chunked callback: checkpoint every N
+    iterations (and always on the final chunk)."""
+
+    def __init__(self, path: str, every: int):
+        self.path = path
+        self.every = max(int(every), 1)
+        self._last_saved = None
+
+    def __call__(self, info) -> None:
+        it = int(info.state.it)
+        done = not bool(info.state.keep_running)
+        if (self._last_saved is None or done
+                or it - self._last_saved >= self.every):
+            save_conv_checkpoint(self.path, info.state)
+            self._last_saved = it
 
 
 class CheckpointCallback:

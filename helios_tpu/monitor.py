@@ -88,13 +88,17 @@ def run_radiation_chunked(phys: Phys, m: ModelArrays, thermo, T_lay0, *,
 
 def run_convection_chunked(phys: Phys, m: ModelArrays, thermo, rad, *,
                            chunk_iters: int = 100, sset=None,
-                           callbacks: Sequence[Callback] = ()):
+                           callbacks: Sequence[Callback] = (),
+                           state0=None):
     """Convection loop with host observation every ``chunk_iters`` steps
-    (same continuation mechanism as run_radiation_chunked)."""
+    (same continuation mechanism as run_radiation_chunked).  ``state0``
+    resumes from a restored ConvLoopState instead of entering from the
+    radiation result."""
     from helios_tpu.rce.loop import convection_loop
 
-    state = jax.jit(lambda r: convection_loop(
-        phys, m, thermo, r, max_steps=0, sset=sset))(rad)
+    state = state0 if state0 is not None else jax.jit(
+        lambda r: convection_loop(phys, m, thermo, r, max_steps=0,
+                                  sset=sset))(rad)
 
     step = jax.jit(lambda s: convection_loop(
         phys, m, thermo, rad, max_steps=chunk_iters, sset=sset,

@@ -383,9 +383,12 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         if cfg.realtime_plot:
             obs_callbacks.append(monitor_mod.PlotCallback(phys))
         callbacks = list(obs_callbacks)
+        ckpt_path = conv_ckpt_path = None
         if cfg.checkpoint_every > 0:
             ckpt_path = cfg.checkpoint_path or os.path.join(
                 cfg.output_dir, cfg.name, "restart.ckpt.npz")
+            conv_ckpt_path = ckpt_path.replace(".ckpt.npz",
+                                               "_conv.ckpt.npz")
             ckpt = ckpt_mod.load_rad_checkpoint(ckpt_path)
             if ckpt is not None:
                 state0 = ckpt_mod.restore_rad_state(phys, arrays, ckpt,
@@ -410,10 +413,22 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
     conv = None
     if phys.convection and not phys.singlewalk and not phys.iso:
         if monitored:
+            from helios_tpu import checkpoint as ckpt_mod
             from helios_tpu import monitor as monitor_mod
+            conv_callbacks = list(obs_callbacks)
+            conv_state0 = None
+            if conv_ckpt_path is not None:
+                cckpt = ckpt_mod.load_conv_checkpoint(conv_ckpt_path)
+                if (cckpt is not None
+                        and ckpt_mod.checkpoint_phase(cckpt)
+                        == "convection"):
+                    conv_state0 = ckpt_mod.restore_conv_state(
+                        phys, arrays, cckpt, sset)
+                conv_callbacks.append(ckpt_mod.ConvCheckpointCallback(
+                    conv_ckpt_path, cfg.checkpoint_every))
             conv = monitor_mod.run_convection_chunked(
                 phys, arrays, thermo, rad, chunk_iters=chunk,
-                sset=sset, callbacks=obs_callbacks)
+                sset=sset, callbacks=conv_callbacks, state0=conv_state0)
         else:
             conv = jax.jit(
                 lambda r: convection_loop(phys, arrays, thermo, r,

@@ -98,3 +98,60 @@ def test_run_radiation_checkpointed_to_convergence(tmp_path):
     # checkpoint exists and reflects the final state
     ckpt = ck.load_rad_checkpoint(path)
     assert int(ckpt["it"]) == int(state.it)
+
+
+def _conv_model():
+    table = synthetic_premixed_table(nbin=12, ny=3, ntemp=12, npress=10,
+                                     seed=5)
+    table.kpoints *= 10.0
+    cfg = HeliosConfig(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                       R_star=1.0, T_star=30.0, T_intern=700.0,
+                       scattering="no", direct_beam="no", convection="yes",
+                       kappa_value=0.1, run_type="iterative", nlayer=14,
+                       p_boa=1e9, p_toa=1e3, rad_convergence_limit=1e-5,
+                       adapt_interval=6).finalize()
+    phys, arrays = build_model(cfg, table)
+    from helios_tpu.rce.radiative import make_const_thermo
+    return phys, arrays, make_const_thermo(cfg.kappa_value)
+
+
+def test_conv_checkpoint_resume_matches_straight(tmp_path):
+    """Convection phase: save at it=300, restore in a fresh state, run to
+    600 -- bitwise equal to an uninterrupted 600-step run (300 and the
+    chunk size are multiples of the 10-step cache refresh)."""
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import radiation_loop
+
+    phys, arrays, thermo = _conv_model()
+    T0 = jnp.full(phys.nlayer + 1, 900.0)
+    rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t))(T0)
+
+    straight = jax.jit(lambda r: convection_loop(
+        phys, arrays, thermo, r, max_steps=600))(rad)
+
+    half = jax.jit(lambda r: convection_loop(
+        phys, arrays, thermo, r, max_steps=300))(rad)
+    path = str(tmp_path / "c.ckpt.npz")
+    ck.save_conv_checkpoint(path, half)
+    del half
+
+    ckpt = ck.load_conv_checkpoint(path)
+    assert ck.checkpoint_phase(ckpt) == "convection"
+    resumed = ck.restore_conv_state(phys, arrays, ckpt)
+    assert int(resumed.it) == 300
+    final = jax.jit(lambda s: convection_loop(
+        phys, arrays, thermo, rad, max_steps=300, state0=s))(resumed)
+
+    # this scenario converges at it=400 (the min-400-iteration rule);
+    # resumed and straight must land on the same iteration bitwise
+    assert int(final.it) == int(straight.it)
+    assert bool(final.keep_running) == bool(straight.keep_running)
+    np.testing.assert_array_equal(np.asarray(final.T_lay),
+                                  np.asarray(straight.T_lay))
+    np.testing.assert_array_equal(np.asarray(final.conv_layer),
+                                  np.asarray(straight.conv_layer))
+
+
+def test_rad_checkpoint_phase_default():
+    import numpy as _np
+    assert ck.checkpoint_phase({"it": _np.int32(3)}) == "radiation"
