@@ -32,6 +32,33 @@ from helios_tpu.rce.radiative import (RadLoopState, init_rad_state,
 
 _FORMAT_VERSION = 1
 
+# Model-identity fingerprint stored in every checkpoint: a leftover file
+# from a differently-configured run at the same path must fail loudly
+# instead of resuming into shape errors or silently wrong physics.
+_FINGERPRINT_FIELDS = ("nlayer", "nbin", "ny", "iso", "T_star", "T_intern",
+                       "g", "a")
+
+
+def _fingerprint(phys: Phys) -> dict:
+    return {"fp__" + f: np.float64(getattr(phys, f))
+            for f in _FINGERPRINT_FIELDS}
+
+
+def _check_fingerprint(phys: Phys, ckpt: dict, path_hint: str = "") -> None:
+    mismatches = []
+    for f in _FINGERPRINT_FIELDS:
+        key = "fp__" + f
+        if key not in ckpt:
+            return   # pre-fingerprint checkpoint: accept (format v1 era)
+        have, want = float(ckpt[key]), float(getattr(phys, f))
+        if have != want:
+            mismatches.append(f"{f}: checkpoint={have:g} run={want:g}")
+    if mismatches:
+        raise ValueError(
+            "checkpoint does not match this run's configuration "
+            f"({'; '.join(mismatches)}). Delete the stale checkpoint "
+            "or point -checkpoint_path elsewhere.")
+
 # RadLoopState leaves that fully determine a resume (cache/totals are
 # recomputed); FluxState is stored field-wise with a "flux__" prefix.
 _STATE_FIELDS = ("T_lay", "T_store", "prefactor", "F_smooth_sum", "abort",
@@ -44,9 +71,13 @@ _CONV_FIELDS = ("T_lay", "T_store", "prefactor", "F_smooth_sum",
                 "keep_running", "aborted")
 
 
-def save_rad_checkpoint(path: str, state: RadLoopState) -> None:
+def save_rad_checkpoint(path: str, state: RadLoopState,
+                        phys: Optional[Phys] = None) -> None:
     """Atomically write the restartable radiation-loop state."""
-    payload = {"format_version": np.int64(_FORMAT_VERSION)}
+    payload = {"format_version": np.int64(_FORMAT_VERSION),
+               "phase": np.bytes_(b"radiation")}
+    if phys is not None:
+        payload.update(_fingerprint(phys))
     for f in _STATE_FIELDS:
         payload[f] = np.asarray(getattr(state, f))
     for f, v in state.flux._asdict().items():
@@ -91,8 +122,22 @@ def restore_rad_state(phys: Phys, m: ModelArrays, ckpt: dict,
     """Rebuild a full RadLoopState from a checkpoint payload.
 
     The cell cache and band totals are recomputed from the restored
-    temperatures (they are refreshed every 10th iteration anyway,
-    computation.py:860)."""
+    temperatures.  Like convection resume, this is bitwise-exact only
+    when the saved iteration is a multiple of the 10-step cache-refresh
+    cadence (the pipeline rounds its chunk size to enforce this);
+    otherwise the resumed cache is fresher than the stale one the
+    uninterrupted run would have used -- numerically equivalent, not
+    bitwise."""
+    if checkpoint_phase(ckpt) != "radiation":
+        raise ValueError(
+            "checkpoint holds a convection-phase payload; refusing to "
+            "restore it as radiation state (stale or misrouted "
+            "checkpoint path).")
+    _check_fingerprint(phys, ckpt)
+    if not bool(ckpt["keep_running"]):
+        import warnings
+        warnings.warn("resuming from an already-converged checkpoint; "
+                      "the loop will exit immediately", stacklevel=2)
     T_lay = jnp.asarray(ckpt["T_lay"])
     fresh = init_rad_state(phys, m, T_lay, sset)
     flux = FluxState(**{f: jnp.asarray(ckpt["flux__" + f])
@@ -103,7 +148,8 @@ def restore_rad_state(phys: Phys, m: ModelArrays, ckpt: dict,
         **{f: jnp.asarray(ckpt[f]) for f in _STATE_FIELDS})
 
 
-def save_conv_checkpoint(path: str, state) -> None:
+def save_conv_checkpoint(path: str, state,
+                         phys: Optional[Phys] = None) -> None:
     """Atomically write the restartable convection-loop state.
 
     Unlike the radiation body, the convection body consumes the PREVIOUS
@@ -112,6 +158,8 @@ def save_conv_checkpoint(path: str, state) -> None:
     BEFORE the 10-step cache refresh, so those are serialized too."""
     payload = {"format_version": np.int64(_FORMAT_VERSION),
                "phase": np.bytes_(b"convection")}
+    if phys is not None:
+        payload.update(_fingerprint(phys))
     for f in _CONV_FIELDS:
         payload[f] = np.asarray(getattr(state, f))
     for f, v in state.flux._asdict().items():
@@ -150,6 +198,11 @@ def restore_conv_state(phys: Phys, m: ModelArrays, ckpt: dict, sset=None):
     from helios_tpu.ops.integrate import FluxTotals
     from helios_tpu.rce.loop import ConvLoopState
 
+    if checkpoint_phase(ckpt) != "convection":
+        raise ValueError(
+            "checkpoint holds a radiation-phase payload; refusing to "
+            "restore it as convection state.")
+    _check_fingerprint(phys, ckpt)
     T_lay = jnp.asarray(ckpt["T_lay"])
     T_int = interp_ops.interface_temperatures(T_lay)
     cache = compute_cells(phys, m, T_lay, T_int, sset)
@@ -169,9 +222,11 @@ class ConvCheckpointCallback:
     """monitor.run_convection_chunked callback: checkpoint every N
     iterations (and always on the final chunk)."""
 
-    def __init__(self, path: str, every: int):
+    def __init__(self, path: str, every: int,
+                 phys: Optional[Phys] = None):
         self.path = path
         self.every = max(int(every), 1)
+        self.phys = phys
         self._last_saved = None
 
     def __call__(self, info) -> None:
@@ -179,7 +234,7 @@ class ConvCheckpointCallback:
         done = not bool(info.state.keep_running)
         if (self._last_saved is None or done
                 or it - self._last_saved >= self.every):
-            save_conv_checkpoint(self.path, info.state)
+            save_conv_checkpoint(self.path, info.state, self.phys)
             self._last_saved = it
 
 
@@ -187,9 +242,11 @@ class CheckpointCallback:
     """monitor.run_radiation_chunked callback: checkpoint every N
     iterations (and always on the final chunk)."""
 
-    def __init__(self, path: str, every: int):
+    def __init__(self, path: str, every: int,
+                 phys: Optional[Phys] = None):
         self.path = path
         self.every = max(int(every), 1)
+        self.phys = phys
         self._last_saved = None
 
     def __call__(self, info) -> None:
@@ -197,7 +254,7 @@ class CheckpointCallback:
         done = not bool(info.state.keep_running)
         if (self._last_saved is None or done
                 or it - self._last_saved >= self.every):
-            save_rad_checkpoint(self.path, info.state)
+            save_rad_checkpoint(self.path, info.state, self.phys)
             self._last_saved = it
 
 
@@ -227,5 +284,5 @@ def run_radiation_checkpointed(phys: Phys, m: ModelArrays, thermo,
     while bool(state.keep_running):
         state = step(state)
         jax.block_until_ready(state.T_lay)
-        save_rad_checkpoint(path, state)
+        save_rad_checkpoint(path, state, phys)
     return state

@@ -41,6 +41,9 @@ class ChunkInfo(NamedTuple):
     its_done: int          # iterations in this chunk
     wall_s: float          # wall time of this chunk
     phase: str             # "radiation" (convection monitors separately)
+    includes_compile: bool = False   # first chunk: wall_s includes XLA
+    #                                  compilation, so ms/iter is not
+    #                                  steady-state
 
 
 Callback = Callable[[ChunkInfo], None]
@@ -66,11 +69,14 @@ def run_radiation_chunked(phys: Phys, m: ModelArrays, thermo, T_lay0, *,
         phys, m, thermo, s.T_lay, max_steps=chunk_iters, sset=sset,
         state0=s))
 
-    first = True
+    # profile the SECOND chunk: the first includes XLA compilation, which
+    # would dominate the trace (and the first record's ms/iter, which is
+    # flagged via includes_compile instead)
+    chunk_idx = 0
     while bool(state.keep_running):
         it_before = int(state.it)
         t0 = time.perf_counter()
-        if first and profile_dir:
+        if chunk_idx == 1 and profile_dir:
             with jax.profiler.trace(profile_dir):
                 state = step(state)
                 jax.block_until_ready(state.T_lay)
@@ -79,10 +85,11 @@ def run_radiation_chunked(phys: Phys, m: ModelArrays, thermo, T_lay0, *,
             jax.block_until_ready(state.T_lay)
         info = ChunkInfo(state=state, its_done=int(state.it) - it_before,
                          wall_s=time.perf_counter() - t0,
-                         phase="radiation")
+                         phase="radiation",
+                         includes_compile=(chunk_idx == 0))
         for cb in callbacks:
             cb(info)
-        first = False
+        chunk_idx += 1
     return state
 
 
@@ -104,6 +111,7 @@ def run_convection_chunked(phys: Phys, m: ModelArrays, thermo, rad, *,
         phys, m, thermo, rad, max_steps=chunk_iters, sset=sset,
         state0=s))
 
+    chunk_idx = 0
     while bool(state.keep_running):
         it_before = int(state.it)
         t0 = time.perf_counter()
@@ -111,9 +119,11 @@ def run_convection_chunked(phys: Phys, m: ModelArrays, thermo, rad, *,
         jax.block_until_ready(state.T_lay)
         info = ChunkInfo(state=state, its_done=int(state.it) - it_before,
                          wall_s=time.perf_counter() - t0,
-                         phase="convection")
+                         phase="convection",
+                         includes_compile=(chunk_idx == 0))
         for cb in callbacks:
             cb(info)
+        chunk_idx += 1
     return state
 
 
@@ -141,19 +151,25 @@ class ProgressPrinter:
                 f"{n_conv}/{self.nlayer + 1} | criterion "
                 f"{float(s.local_limit):.1e} | "
                 f"{info.wall_s / max(info.its_done, 1) * 1e3:6.2f} ms/iter"
-                f" ({info.its_done / max(info.wall_s, 1e-9):7.1f} it/s)")
+                f" ({info.its_done / max(info.wall_s, 1e-9):7.1f} it/s)"
+                + (" [incl. compile]" if info.includes_compile else ""))
         print(line, file=self.stream, flush=True)
 
 
 class MetricsWriter:
-    """Structured metrics: one JSON object per chunk, append-only."""
+    """Structured metrics: one JSON object per chunk, append-only.
+
+    Opens in append mode so a resumed (checkpoint-restored) run keeps the
+    previous history; each construction writes a run-start marker record
+    instead of truncating."""
 
     def __init__(self, path: str):
         self.path = path
         d = os.path.dirname(os.path.abspath(path))
         os.makedirs(d, exist_ok=True)
-        # truncate at run start
-        open(self.path, "w").close()
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps({"event": "run_start",
+                                 "time": time.time()}) + "\n")
 
     def __call__(self, info: ChunkInfo) -> None:
         s = info.state
@@ -163,6 +179,7 @@ class MetricsWriter:
             "chunk_iters": info.its_done,
             "wall_s": round(info.wall_s, 6),
             "it_per_s": round(info.its_done / max(info.wall_s, 1e-9), 2),
+            "includes_compile": bool(info.includes_compile),
             "converged_layers": _converged_layers(s),
             "criterion": float(s.local_limit),
             "T_min": float(jnp.min(s.T_lay)),

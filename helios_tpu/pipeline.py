@@ -387,20 +387,28 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         if cfg.checkpoint_every > 0:
             ckpt_path = cfg.checkpoint_path or os.path.join(
                 cfg.output_dir, cfg.name, "restart.ckpt.npz")
-            conv_ckpt_path = ckpt_path.replace(".ckpt.npz",
-                                               "_conv.ckpt.npz")
+            # insert the _conv suffix before the (possibly compound)
+            # extension so ANY user-supplied path yields a distinct file
+            base, ext = os.path.splitext(ckpt_path)
+            if base.endswith(".ckpt"):
+                base, ext = base[:-5], ".ckpt" + ext
+            conv_ckpt_path = base + "_conv" + ext
+            assert conv_ckpt_path != ckpt_path
             ckpt = ckpt_mod.load_rad_checkpoint(ckpt_path)
             if ckpt is not None:
                 state0 = ckpt_mod.restore_rad_state(phys, arrays, ckpt,
                                                     sset)
             callbacks.append(ckpt_mod.CheckpointCallback(
-                ckpt_path, cfg.checkpoint_every))
+                ckpt_path, cfg.checkpoint_every, phys))
 
         chunk = cfg.chunk_iters
         if cfg.checkpoint_every > 0:
             chunk = min(chunk, cfg.checkpoint_every)
         if cfg.realtime_plot:
             chunk = min(chunk, cfg.n_plot)
+        # round to the 10-iteration cache-refresh cadence so checkpoints
+        # land on refresh boundaries and resume is bitwise-exact
+        chunk = max(chunk // 10 * 10, 10)
         rad = monitor_mod.run_radiation_chunked(
             phys, arrays, thermo, T0, chunk_iters=chunk, sset=sset,
             callbacks=callbacks, state0=state0,
@@ -425,7 +433,7 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
                     conv_state0 = ckpt_mod.restore_conv_state(
                         phys, arrays, cckpt, sset)
                 conv_callbacks.append(ckpt_mod.ConvCheckpointCallback(
-                    conv_ckpt_path, cfg.checkpoint_every))
+                    conv_ckpt_path, cfg.checkpoint_every, phys))
             conv = monitor_mod.run_convection_chunked(
                 phys, arrays, thermo, rad, chunk_iters=chunk,
                 sset=sset, callbacks=conv_callbacks, state0=conv_state0)

@@ -155,3 +155,68 @@ def test_conv_checkpoint_resume_matches_straight(tmp_path):
 def test_rad_checkpoint_phase_default():
     import numpy as _np
     assert ck.checkpoint_phase({"it": _np.int32(3)}) == "radiation"
+
+
+def test_fingerprint_mismatch_raises(tmp_path):
+    """A checkpoint from a differently-configured run fails loudly."""
+    import dataclasses
+
+    import pytest
+
+    phys, arrays = _small_model()
+    T0 = jnp.full(phys.nlayer + 1, 1000.0)
+    state = jax.jit(lambda t: rad_mod.radiation_loop(
+        phys, arrays, None, t, max_steps=20))(T0)
+    path = str(tmp_path / "fp.ckpt.npz")
+    ck.save_rad_checkpoint(path, state, phys)
+
+    other = dataclasses.replace(phys, T_star=9999.0)
+    ckpt = ck.load_rad_checkpoint(path)
+    with pytest.raises(ValueError, match="configuration"):
+        ck.restore_rad_state(other, arrays, ckpt)
+    # matching config restores fine
+    ck.restore_rad_state(phys, arrays, ck.load_rad_checkpoint(path))
+
+
+def test_phase_mismatch_refused(tmp_path):
+    """A convection payload cannot be restored as radiation state and
+    vice versa (the preemption-resume misrouting scenario)."""
+    import pytest
+
+    phys, arrays = _small_model()
+    T0 = jnp.full(phys.nlayer + 1, 1000.0)
+    state = jax.jit(lambda t: rad_mod.radiation_loop(
+        phys, arrays, None, t, max_steps=20))(T0)
+    path = str(tmp_path / "ph.ckpt.npz")
+    ck.save_rad_checkpoint(path, state, phys)
+    with pytest.raises(ValueError, match="radiation-phase"):
+        ck.restore_conv_state(phys, arrays, ck.load_rad_checkpoint(path))
+
+    cphys, carrays, thermo = _conv_model()
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import radiation_loop
+    rad = jax.jit(lambda t: radiation_loop(
+        cphys, carrays, thermo, t, max_steps=30))(
+            jnp.full(cphys.nlayer + 1, 900.0))
+    conv = jax.jit(lambda r: convection_loop(
+        cphys, carrays, thermo, r, max_steps=30))(rad)
+    cpath = str(tmp_path / "ph_conv.ckpt.npz")
+    ck.save_conv_checkpoint(cpath, conv, cphys)
+    with pytest.raises(ValueError, match="convection-phase"):
+        ck.restore_rad_state(cphys, carrays,
+                             ck.load_conv_checkpoint(cpath))
+
+
+def test_conv_ckpt_path_never_collides():
+    """The pipeline's conv-checkpoint path derivation yields a distinct
+    file for ANY user-supplied path (ADVICE round 1, medium)."""
+    import os
+
+    def derive(p):
+        base, ext = os.path.splitext(p)
+        if base.endswith(".ckpt"):
+            base, ext = base[:-5], ".ckpt" + ext
+        return base + "_conv" + ext
+
+    for p in ("/x/restart.ckpt.npz", "/x/ck.npz", "/x/ck", "/x/a.b.c"):
+        assert derive(p) != p

@@ -60,7 +60,10 @@ def test_callbacks_see_monotonic_progress(tmp_path):
 
     recs = [json.loads(l) for l in
             open(str(tmp_path / "m.jsonl")).read().splitlines()]
+    assert recs[0].get("event") == "run_start"   # append-mode marker
+    recs = [r for r in recs if "event" not in r]
     assert len(recs) == len(seen)
+    assert recs[0]["includes_compile"] and not recs[-1]["includes_compile"]
     assert recs[-1]["iteration"] == int(state.it)
     assert recs[-1]["converged_layers"] == phys.nlayer + 1
     assert recs[0]["it_per_s"] > 0
