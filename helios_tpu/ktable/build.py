@@ -211,27 +211,49 @@ def kdistribution_for_one_TP(lamda_hk, opac_hk, lamda_int, delta_lamda,
 class BuildConfig:
     format: str = "k-distribution"       # k-distribution | sampling
     heliosk_format: str = "binary"       # binary | text
+    # fixed_resolution | file | native_helios-k
     grid_format: str = "fixed_resolution"
     grid_limits: Tuple[float, float] = (0.34, 30.0)   # micron
     resolution: float = 50.0
+    grid_file_path: str = ""
     n_gauss: int = 20
     output_dir: str = "./output_ktable/"
+
+
+def read_grid_file(path: str) -> np.ndarray:
+    """Wavelength grid from a one-column ASCII file [cm]
+    (build_individual_opacities.py:143-152)."""
+    return np.asarray([float(line.split()[0]) for line in open(path)
+                       if line.split()])
 
 
 def build_wavelength_grid(cfg: BuildConfig):
     """(lamda centers, lamda_int, delta_lamda, y_gauss) for k-distribution;
     (lamda, None, None, None) for sampling
     (build_individual_opacities.py:154-223)."""
-    bot = cfg.grid_limits[0] * 1e-4
-    top = cfg.grid_limits[1] * 1e-4
+    if cfg.grid_format == "native_helios-k":
+        # constant delta_nu = 0.01 cm^-1 raster, sampling only
+        # (build_individual_opacities.py:181-194)
+        if cfg.format == "k-distribution":
+            raise IOError(
+                "The native HELIOS-K resolution setting only works with "
+                "the sampling method, not k-distribution.")
+        nu = np.arange(0.01, 41000.0 + 0.01, 0.01)
+        return np.sort(1.0 / nu), None, None, None
+
+    if cfg.grid_format == "file":
+        grid = read_grid_file(cfg.grid_file_path)
+    else:
+        bot = cfg.grid_limits[0] * 1e-4
+        top = cfg.grid_limits[1] * 1e-4
+        grid = gen_fixed_res_grid(bot, top, cfg.resolution)
+
     if cfg.format == "sampling":
-        lam = gen_fixed_res_grid(bot, top, cfg.resolution)
         # snap to the HELIOS-K 0.01 cm^-1 wavenumber raster
         # (build_individual_opacities.py:199-210)
-        nu = np.round(1.0 / lam[::-1], 2)
-        lam = np.sort(1.0 / nu)
-        return lam, None, None, None
-    lam_int = gen_fixed_res_grid(bot, top, cfg.resolution)
+        nu = np.round(1.0 / grid[::-1], 2)
+        return np.sort(1.0 / nu), None, None, None
+    lam_int = grid
     lam = 0.5 * (lam_int[1:] + lam_int[:-1])
     dlam = np.diff(lam_int)
     y, _ = gauss_legendre_ypoints(cfg.n_gauss)

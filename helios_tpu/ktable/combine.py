@@ -313,7 +313,8 @@ class Combiner:
                 f.create_dataset("opacities", data=interpol.ravel())
 
     # ------------------------------------------------------------------ #
-    def combine_all(self, species_list: List[MixSpecies]):
+    def combine_all(self, species_list: List[MixSpecies],
+                    units: str = "CGS"):
         """combination.py:989-1010."""
         self.final_temp, self.final_press = final_pt_grid()
 
@@ -337,27 +338,41 @@ class Combiner:
             print(f"Including --> {s.name} <--")
             self.add_one_species(s, first=(i == 0))
 
-        self.write_mixed_file()
+        self.write_mixed_file(units)
 
-    def write_mixed_file(self):
-        """combination.py:455-496 (cgs units)."""
+    def write_mixed_file(self, units: str = "CGS"):
+        """combination.py:455-496; units "CGS" or "MKS"
+        (combination.py:470-479)."""
         import h5py
+        if units not in ("CGS", "MKS"):
+            raise ValueError(
+                "Chosen units for the opacity table unknown. Please "
+                "double-check entry in the parameter file.")
+        press, opac = self.final_press, self.combined_opacities.ravel()
+        scat, k_x = self.combined_cross_sections.ravel(), self.k_x
+        k_i, k_w = self.k_i, self.k_w
+        if units == "MKS":
+            press = np.asarray(press) * 1e-1
+            opac = opac * 1e-1
+            scat = scat * 1e-4
+            k_x = np.asarray(k_x) * 1e-2
+            if self.format == "k-distribution":
+                k_i = np.asarray(k_i) * 1e-2
+                k_w = np.asarray(k_w) * 1e-2
         os.makedirs(self.final_dir, exist_ok=True)
         fn = ("mixed_opac_kdistr.h5" if self.format == "k-distribution"
               else "mixed_opac_sampling.h5")
         with h5py.File(os.path.join(self.final_dir, fn), "w") as f:
-            f.create_dataset("pressures", data=self.final_press)
+            f.create_dataset("pressures", data=press)
             f.create_dataset("temperatures", data=self.final_temp)
             f.create_dataset("meanmolmass", data=self.mu.ravel())
-            f.create_dataset("kpoints",
-                             data=self.combined_opacities.ravel())
-            f.create_dataset("weighted Rayleigh cross-sections",
-                             data=self.combined_cross_sections.ravel())
+            f.create_dataset("kpoints", data=opac)
+            f.create_dataset("weighted Rayleigh cross-sections", data=scat)
             f.create_dataset("included molecules", data=self.molname_list)
-            f.create_dataset("wavelengths", data=self.k_x)
-            f.create_dataset("units", data="CGS")
+            f.create_dataset("wavelengths", data=k_x)
+            f.create_dataset("units", data=units)
             if self.format == "k-distribution":
-                f.create_dataset("center wavelengths", data=self.k_x)
-                f.create_dataset("interface wavelengths", data=self.k_i)
-                f.create_dataset("wavelength width of bins", data=self.k_w)
+                f.create_dataset("center wavelengths", data=k_x)
+                f.create_dataset("interface wavelengths", data=k_i)
+                f.create_dataset("wavelength width of bins", data=k_w)
                 f.create_dataset("ypoints", data=self.k_y)

@@ -143,7 +143,8 @@ def post_process(phys: Phys, m: ModelArrays, T_lay, flux_state,
 def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
                    final_T, flux_state, post, *, conv_unstable=None,
                    conv_layer=None, F_smooth_sum=None, F_net_diff=None,
-                   kappa_lay=None, c_p_lay=None, relaxed=0,
+                   kappa_lay=None, c_p_lay=None, entropy_lay=None,
+                   phase_number_lay=None, relaxed=0,
                    final_limit=None, singlewalk=None,
                    star_corr_factor=1.0,
                    cloud_result=None) -> writers.RunResult:
@@ -180,7 +181,10 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
                  else np.zeros(L)),
         kappa_lay=(np.asarray(kappa_lay) if kappa_lay is not None
                    else np.zeros(L)),
-        entropy_lay=np.zeros(L),
+        entropy_lay=(np.asarray(entropy_lay) if entropy_lay is not None
+                     else np.zeros(L)),
+        phase_number_lay=(np.asarray(phase_number_lay)
+                          if phase_number_lay is not None else None),
         conv_unstable=(np.asarray(conv_unstable).astype(int)
                        if conv_unstable is not None
                        else np.zeros(L + 1, int)),
@@ -359,10 +363,22 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         arrays = arrays._replace(add_heat_dens=jnp.asarray(
             hp.load_additional_heating(cfg, np.asarray(arrays.p_lay))))
 
-    if cfg.convection and not isinstance(cfg.kappa_value, str):
+    # kappa/c_p/entropy source (read.py:1105-1193): a constant, or the
+    # "file"/"water_atmo" ASCII table modes for real-gas thermodynamics.
+    # The table is loaded whenever a file mode is selected -- even for
+    # post-processing runs -- because entropy/phase diagnostics are
+    # interpolated from it at the end (computation.py:252-292).
+    if (isinstance(cfg.kappa_value, str)
+            and cfg.kappa_value in ("file", "water_atmo")):
+        from helios_tpu import thermo as thermo_mod
+        from helios_tpu.rce.radiative import make_table_thermo
+        tbl = thermo_mod.load_entropy_table(cfg.kappa_file_path,
+                                            cfg.kappa_value)
+        thermo = make_table_thermo(tbl, jnp.dtype(cfg.dtype))
+    elif cfg.convection:
         thermo = make_const_thermo(float(cfg.kappa_value))
     else:
-        thermo = make_const_thermo(2.0 / 7.0) if cfg.convection else None
+        thermo = None
 
     T0 = jnp.asarray(initial_temperatures(cfg, phys, arrays))
 
@@ -463,6 +479,18 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
     else:
         kappa_lay = c_p_lay = conv_unstable = None
 
+    # entropy / water-phase diagnostics from the thermo table
+    # (computation.py:252-292, entropy_interpol / phase_number_interpol)
+    entropy_lay = phase_number_lay = None
+    if thermo is not None and thermo.from_table:
+        entropy_lay = interp_ops.interpolate_entropy(
+            thermo.entropy_table, thermo.temps, thermo.press,
+            final_T[:phys.nlayer], arrays.p_lay)
+        if thermo.has_phase:
+            phase_number_lay = interp_ops.interpolate_phase_number(
+                thermo.phase_table, thermo.temps, thermo.press,
+                final_T[:phys.nlayer], arrays.p_lay)
+
     post = post_process(phys, arrays, final_T, flux_state, F_smooth_sum,
                         sset=sset)
 
@@ -471,6 +499,7 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         cfg, phys, arrays, final_T, flux_state, post,
         conv_unstable=conv_unstable, conv_layer=conv_layer,
         F_smooth_sum=F_smooth_sum, kappa_lay=kappa_lay, c_p_lay=c_p_lay,
+        entropy_lay=entropy_lay, phase_number_lay=phase_number_lay,
         relaxed=relaxed, final_limit=final_limit,
         cloud_result=cloud_result)
 

@@ -26,25 +26,47 @@ from helios_tpu.ops import interp as interp_ops
 
 
 class ThermoProps(NamedTuple):
-    """kappa / c_p source: either constant values or a (T, P) table.
+    """kappa / c_p / entropy / phase source: constant values or a (T, P)
+    table.
 
     Reference read.py:1105-1193: constant kappa => c_p = R_univ / kappa
-    [erg/K/mol]; file mode interpolates both from the entropy table.
+    [erg/K/mol]; "file"/"water_atmo" mode interpolates everything from
+    the loaded entropy table (kernels.cu:703-919).
     """
-    kappa_table: jnp.ndarray    # [nt, np] (dummy [1,1] when constant)
+    kappa_table: jnp.ndarray    # [nt, np] (dummy [2,2] when constant)
     cp_table: jnp.ndarray       # [nt, np]
+    entropy_table: jnp.ndarray  # [nt, np] (zeros when absent)
+    phase_table: jnp.ndarray    # [nt, np] (water_atmo only; else dummy)
     temps: jnp.ndarray          # [nt]
     press: jnp.ndarray          # [np]
     const_kappa: float          # used when from_table == 0
     from_table: int             # static flag
+    has_phase: int = 0          # static flag (water_atmo format)
 
 
 def make_const_thermo(kappa_value: float, dtype=jnp.float64) -> ThermoProps:
     dummy = jnp.zeros((2, 2), dtype)
     grid = jnp.asarray([1.0, 2.0], dtype)
-    return ThermoProps(kappa_table=dummy, cp_table=dummy, temps=grid,
+    return ThermoProps(kappa_table=dummy, cp_table=dummy,
+                       entropy_table=dummy, phase_table=dummy, temps=grid,
                        press=grid, const_kappa=float(kappa_value),
                        from_table=0)
+
+
+def make_table_thermo(tbl, dtype=jnp.float64) -> ThermoProps:
+    """ThermoProps from a loaded :class:`helios_tpu.thermo.EntropyTable`
+    (the kappa_value = "file"/"water_atmo" modes, read.py:1121-1165)."""
+    dummy = jnp.zeros((2, 2), dtype)
+    return ThermoProps(
+        kappa_table=jnp.asarray(tbl.kappa, dtype),
+        cp_table=jnp.asarray(tbl.cp, dtype),
+        entropy_table=jnp.asarray(tbl.entropy, dtype),
+        phase_table=(jnp.asarray(tbl.phase, dtype)
+                     if tbl.phase is not None else dummy),
+        temps=jnp.asarray(tbl.temps, dtype),
+        press=jnp.asarray(tbl.press, dtype),
+        const_kappa=0.0, from_table=1,
+        has_phase=int(tbl.phase is not None))
 
 
 def kappa_cp_lay(thermo: ThermoProps, T_lay, p_lay):
