@@ -213,6 +213,11 @@ class CellCache(NamedTuple):
     scat_cross_lay: jnp.ndarray       # [L, B]
     F_add_heat_lay: jnp.ndarray       # [L]  add_heat_dens * delta_z
     F_add_heat_sum: jnp.ndarray       # [L]  cumulative sum
+    # precomputed sweep coefficients (IsoCoeffCache / NonIsoCoeffCache):
+    # everything of the flux-solve inputs that does not depend on the
+    # current Planck arrays, so the per-iteration coefficient assembly
+    # is a handful of fmas instead of the full emulated-fp64 pipeline
+    coeff: tuple = ()
 
 
 def init_flux_state(phys: Phys, dtype) -> FluxState:
@@ -405,25 +410,48 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
               i2s_transition=phys.i2s_transition)
 
     nint = L + 1
-    mu_mat = beam_ops._mu_star_matrix(z_lay, phys.mu_star, phys.R_planet,
-                                      phys.geom_zenith_corr, nint,
-                                      opac_lay.dtype)
-    mask = (jnp.arange(L)[None, :] >= jnp.arange(nint)[:, None])
-    mu_weights = jnp.where(mask, 1.0 / mu_mat, 0.0)
+    # masked 1/mu matrix only for the geometric zenith correction; the
+    # plain-mu* beam uses the O(L) cumulative-sum path inside fdir_*_flat
+    # (and when the beam is off entirely, F_dir is identically zero and
+    # nothing is computed at all)
+    if phys.dir_beam and phys.geom_zenith_corr:
+        mu_mat = beam_ops._mu_star_matrix(z_lay, phys.mu_star,
+                                          phys.R_planet,
+                                          phys.geom_zenith_corr, nint,
+                                          opac_lay.dtype)
+        mask = (jnp.arange(L)[None, :] >= jnp.arange(nint)[:, None])
+        mu_weights = jnp.where(mask, 1.0 / mu_mat, 0.0)
+        mu_diag = jnp.diagonal(mu_mat[:L])
+    else:
+        mu_weights = None
+        mu_diag = None
+
+    S = opac_lay.shape[-1]
+    alb_flat = fp.band_to_flat(m.surf_albedo, Y)
+    coeff_kw = dict(scat_corr=phys.scat_corr,
+                    i2s_transition=phys.i2s_transition, epsi=phys.epsi,
+                    mu_star=phys.mu_star, dir_beam=phys.dir_beam,
+                    f_factor=phys.f_factor, R_star=phys.R_star, a=phys.a)
 
     if phys.iso:
         cells = fp.cell_quantities_flat(
             opac_lay, mmm_lay, ray_lay, m.cloud_abs_cross_lay,
             cld_scat_lay, m.delta_colmass, g0_lay, Y, **kw)
-        # reference attenuates the direct beam through the gas-only
-        # optical depth (delta_tau_wg, kernels.cu:1306) -- clouds excluded
-        F_dir = fp.fdir_iso_flat(
-            planck_star_flat, cells.delta_tau, mu_weights,
-            mu_star=phys.mu_star, R_star=phys.R_star, a=phys.a,
-            dir_beam=phys.dir_beam)
+        if phys.dir_beam:
+            # reference attenuates the direct beam through the gas-only
+            # optical depth (delta_tau_wg, kernels.cu:1306) -- clouds
+            # excluded
+            F_dir = fp.fdir_iso_flat(
+                planck_star_flat, cells.delta_tau, mu_weights,
+                mu_star=phys.mu_star, R_star=phys.R_star, a=phys.a,
+                dir_beam=phys.dir_beam)
+        else:
+            F_dir = jnp.zeros((nint, S), opac_lay.dtype)
         Fc_dir = jnp.zeros((L,) + F_dir.shape[1:], F_dir.dtype)
         lower = cells
         scat_trigger = jnp.any(cells.w0 > phys.w_0_scat_limit, axis=0)
+        coeff = fp.iso_coeff_cache(cells, planck_star_flat, F_dir,
+                                   alb_flat, **coeff_kw)
     else:
         opac_int, scat_int, mmm_int = _gas_properties(
             phys, m, T_int, m.p_int, sset)
@@ -459,12 +487,18 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
         scat_trigger = (jnp.any(upper.w0 > phys.w_0_scat_limit, axis=0)
                         | jnp.any(lower.w0 > phys.w_0_scat_limit, axis=0))
 
-        mu_diag = jnp.diagonal(mu_mat[:L])
-        F_dir, Fc_dir = fp.fdir_noniso_flat(
-            planck_star_flat, upper.delta_tau, lower.delta_tau,
-            mu_weights, mu_diag, mu_star=phys.mu_star, R_star=phys.R_star,
-            a=phys.a, dir_beam=phys.dir_beam)
+        if phys.dir_beam:
+            F_dir, Fc_dir = fp.fdir_noniso_flat(
+                planck_star_flat, upper.delta_tau, lower.delta_tau,
+                mu_weights, mu_diag, mu_star=phys.mu_star,
+                R_star=phys.R_star, a=phys.a, dir_beam=phys.dir_beam)
+        else:
+            F_dir = jnp.zeros((nint, S), opac_lay.dtype)
+            Fc_dir = jnp.zeros((L, S), opac_lay.dtype)
         cells = upper
+        coeff = fp.noniso_coeff_cache(
+            upper, lower, planck_star_flat, F_dir, Fc_dir, alb_flat,
+            delta_tau_limit=phys.delta_tau_limit, **coeff_kw)
 
     # additional heating flux per layer: volumetric density * layer height
     # (host_functions.py:701-711), refreshed with delta_z every cell update
@@ -476,7 +510,8 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
                      meanmolmass_lay=mmm_lay, z_lay=z_lay,
                      opac_lay=opac_lay, scat_cross_lay=scat_lay,
                      F_add_heat_lay=F_add_heat_lay,
-                     F_add_heat_sum=F_add_heat_sum)
+                     F_add_heat_sum=F_add_heat_sum,
+                     coeff=coeff)
 
 
 # --------------------------------------------------------------------------- #
@@ -518,16 +553,13 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
                   f_factor=phys.f_factor, R_star=phys.R_star, a=phys.a)
 
     B_lay_flat = fp.band_to_flat(planckband_lay[:L], Y)
-    B_star_flat = fp.band_to_flat(planckband_lay[L], Y)
     B_surf_flat = fp.band_to_flat(planckband_lay[L + 1], Y)
-    alb_flat = fp.band_to_flat(m.surf_albedo, Y)
 
     if phys.iso:
         cells = cache.cells_or_upper
         if phys.flux_calc_method == "iteration":
-            C = fp.iso_sweep_coeffs_flat(
-                cells, B_lay_flat, B_star_flat, B_surf_flat, cache.F_dir,
-                alb_flat, **common)
+            C = fp.iso_coeffs_from_cache(cache.coeff, B_lay_flat,
+                                         B_surf_flat)
             F_down, F_up = fp.fband_iso_flat(
                 C, cache.F_dir[0], flux_state.F_up,
                 n_passes=phys.n_sweep_passes,
@@ -547,10 +579,9 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
         upper, lower = cache.cells_or_upper, cache.lower
         if phys.flux_calc_method == "iteration":
             B_int_flat = fp.band_to_flat(planckband_int, Y)
-            C = fp.noniso_sweep_coeffs_flat(
-                upper, lower, B_lay_flat, B_int_flat[:-1], B_int_flat[1:],
-                B_star_flat, B_surf_flat, cache.F_dir, cache.Fc_dir,
-                alb_flat, delta_tau_limit=phys.delta_tau_limit, **common)
+            C = fp.noniso_coeffs_from_cache(
+                cache.coeff, B_lay_flat, B_int_flat[:-1], B_int_flat[1:],
+                B_surf_flat)
             F_down, F_up, Fc_down, Fc_up = fp.fband_noniso_flat(
                 C, cache.F_dir[0], flux_state.F_up, flux_state.Fc_up,
                 n_passes=phys.n_sweep_passes,

@@ -149,6 +149,64 @@ def _iso_sweep_kernel_df64(ah_ref, al_ref, bh_ref, bl_ref, sdh_ref, sdl_ref,
                       np.int32(0))
 
 
+def _noniso_sweep_kernel(au_ref, bu_ref, sud_ref, suu_ref,
+                         al_ref, bl_ref, sld_ref, slu_ref,
+                         toa_ref, refl_ref, emis_ref, fdir0_ref,
+                         fup_prev_ref, fcup_prev_ref,
+                         fdown_ref, fup_ref, fcdown_ref, fcup_ref, *,
+                         nlayer: int, n_passes: int):
+    """fp32 fused non-isothermal flux solve (fband_noniso,
+    kernels.cu:1521-1800): half-layer resolution, two chained fmas per
+    sequential step (upper then lower half).
+
+    au/bu/sud/suu: upper-half recurrence coeffs + sources [L, S];
+    al/bl/sld/slu: lower half; boundaries [1, S];
+    fup_prev [L+1, S], fcup_prev [L, S].
+    """
+    L = nlayer
+
+    fup_ref[:] = fup_prev_ref[:]
+    fcup_ref[:] = fcup_prev_ref[:]
+    toa = toa_ref[0, :]
+    fdown_ref[L, :] = toa
+
+    def one_pass(p, _):
+        # downward: Fc_down[i] = au[i] F_down[i+1] + bu[i] Fc_up[i] + sud[i]
+        #           F_down[i]  = al[i] Fc_down[i]  + bl[i] F_up[i]  + sld[i]
+        def down_step(k, carry):
+            i = jnp.int32(L - 1) - k
+            fc = (au_ref[i, :] * carry + bu_ref[i, :] * fcup_ref[i, :]
+                  + sud_ref[i, :])
+            fcdown_ref[i, :] = fc
+            f = (al_ref[i, :] * fc + bl_ref[i, :] * fup_ref[i, :]
+                 + sld_ref[i, :])
+            fdown_ref[i, :] = f
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
+
+        boa = (refl_ref[0, :] * (fdir0_ref[0, :] + fdown_ref[0, :])
+               + emis_ref[0, :])
+        fup_ref[0, :] = boa
+
+        # upward: Fc_up[i] = al[i] F_up[i] + bl[i] Fc_down[i] + slu[i]
+        #         F_up[i+1] = au[i] Fc_up[i] + bu[i] F_down[i+1] + suu[i]
+        def up_step(i, carry):
+            fc = (al_ref[i, :] * carry + bl_ref[i, :] * fcdown_ref[i, :]
+                  + slu_ref[i, :])
+            fcup_ref[i, :] = fc
+            f = (au_ref[i, :] * fc + bu_ref[i, :] * fdown_ref[i + 1, :]
+                 + suu_ref[i, :])
+            fup_ref[i + 1, :] = f
+            return f
+
+        jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
+        return np.int32(0)
+
+    jax.lax.fori_loop(np.int32(0), np.int32(n_passes), one_pass,
+                      np.int32(0))
+
+
 def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
                               sudh_ref, sudl_ref, suuh_ref, suul_ref,
                               alh_ref, all_ref, blh_ref, bll_ref,
@@ -374,6 +432,54 @@ def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
     F_down = df64.combine(df64.DF(fdh, fdl), out_dtype)
     F_up = df64.combine(df64.DF(fuh, ful), out_dtype)
     return F_down[:, :S], F_up[:, :S]
+
+
+@partial(jax.jit, static_argnames=("n_passes", "tile_s"))
+def fused_noniso_sweep(a_up, b_up, src_up_down, src_up_up, a_low, b_low,
+                       src_low_down, src_low_up, toa, boa_refl, boa_emis,
+                       F_dir0, F_up_prev, Fc_up_prev, *, n_passes: int,
+                       tile_s: int = 1024):
+    """Pallas-fused iterative non-isothermal flux solve, fp32.
+
+    Mirrors fastpath.fband_noniso_flat: inputs are the FlatNonIsoCoeffs
+    members ([L, S], [S] boundaries) plus the previous solve's upward
+    fluxes; returns (F_down, F_up, Fc_down, Fc_up) [I/L, S].
+    """
+    L, S = a_up.shape
+    dtype = a_up.dtype
+    tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
+    s_pad = tile_s * ((S + tile_s - 1) // tile_s)
+    n_tiles = s_pad // tile_s
+
+    ins = [_pad_to(x, s_pad) for x in
+           (a_up, b_up, src_up_down, src_up_up,
+            a_low, b_low, src_low_down, src_low_up)]
+    ins += [_pad_to(x[None, :], s_pad) for x in
+            (toa, boa_refl, boa_emis, F_dir0)]
+    ins += [_pad_to(F_up_prev, s_pad), _pad_to(Fc_up_prev, s_pad)]
+
+    lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+    int_spec = pl.BlockSpec((L + 1, tile_s), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        fdown, fup, fcdown, fcup = pl.pallas_call(
+            partial(_noniso_sweep_kernel, nlayer=L, n_passes=n_passes),
+            grid=(n_tiles,),
+            in_specs=([lay_spec] * 8 + [row_spec] * 4
+                      + [int_spec, lay_spec]),
+            out_specs=(int_spec, int_spec, lay_spec, lay_spec),
+            out_shape=(jax.ShapeDtypeStruct((L + 1, s_pad), dtype),
+                       jax.ShapeDtypeStruct((L + 1, s_pad), dtype),
+                       jax.ShapeDtypeStruct((L, s_pad), dtype),
+                       jax.ShapeDtypeStruct((L, s_pad), dtype)),
+            interpret=_use_interpret(),
+        )(*ins)
+
+    return (fdown[:, :S], fup[:, :S], fcdown[:, :S], fcup[:, :S])
 
 
 @partial(jax.jit, static_argnames=("n_passes", "tile_s"))

@@ -50,24 +50,41 @@ Callback = Callable[[ChunkInfo], None]
 
 
 def run_radiation_chunked(phys: Phys, m: ModelArrays, thermo, T_lay0, *,
-                          chunk_iters: int = 100, sset=None,
+                          chunk_iters: Optional[int] = 100, sset=None,
                           callbacks: Sequence[Callback] = (),
                           state0: Optional[RadLoopState] = None,
-                          profile_dir: Optional[str] = None
-                          ) -> RadLoopState:
+                          profile_dir: Optional[str] = None,
+                          mesh=None) -> RadLoopState:
     """Radiation loop with host observation every ``chunk_iters`` steps.
 
     Identical trajectory to the single while_loop (the chunk cap is the
     only extra predicate); callbacks run between chunks on host.
-    """
-    state = state0 if state0 is not None else init_rad_state(
-        phys, m, T_lay0, sset)
-    if phys.singlewalk:
-        return radiation_loop(phys, m, thermo, T_lay0, sset=sset)
 
-    step = jax.jit(lambda s: radiation_loop(
-        phys, m, thermo, s.T_lay, max_steps=chunk_iters, sset=sset,
-        state0=s))
+    ``mesh``: run the loop spectrally sharded over this device mesh
+    (``m``/``sset`` must already be placed with
+    parallel.sharding.place_model/place_species); callbacks and
+    checkpointing work unchanged -- every field they read is
+    replica-identical, and np.asarray gathers sharded leaves.
+    """
+    if mesh is not None:
+        from helios_tpu.parallel import sharding as shd
+        sarr = shd.sset_arrays(sset)
+        rad_init, rad_run, _, _ = shd.production_runners(
+            phys, mesh, thermo, sset, chunk_iters=chunk_iters)
+        state = state0 if state0 is not None else rad_init(m, sarr,
+                                                           T_lay0)
+        if phys.singlewalk:
+            return rad_run(m, sarr, state)
+        step = lambda s: rad_run(m, sarr, s)
+    else:
+        state = state0 if state0 is not None else init_rad_state(
+            phys, m, T_lay0, sset)
+        if phys.singlewalk:
+            return radiation_loop(phys, m, thermo, T_lay0, sset=sset)
+
+        step = jax.jit(lambda s: radiation_loop(
+            phys, m, thermo, s.T_lay, max_steps=chunk_iters, sset=sset,
+            state0=s))
 
     # profile the SECOND chunk: the first includes XLA compilation, which
     # would dominate the trace (and the first record's ms/iter, which is
@@ -94,22 +111,31 @@ def run_radiation_chunked(phys: Phys, m: ModelArrays, thermo, T_lay0, *,
 
 
 def run_convection_chunked(phys: Phys, m: ModelArrays, thermo, rad, *,
-                           chunk_iters: int = 100, sset=None,
+                           chunk_iters: Optional[int] = 100, sset=None,
                            callbacks: Sequence[Callback] = (),
-                           state0=None):
+                           state0=None, mesh=None):
     """Convection loop with host observation every ``chunk_iters`` steps
     (same continuation mechanism as run_radiation_chunked).  ``state0``
     resumes from a restored ConvLoopState instead of entering from the
-    radiation result."""
+    radiation result.  ``mesh``: spectrally sharded execution (see
+    run_radiation_chunked)."""
     from helios_tpu.rce.loop import convection_loop
 
-    state = state0 if state0 is not None else jax.jit(
-        lambda r: convection_loop(phys, m, thermo, r, max_steps=0,
-                                  sset=sset))(rad)
+    if mesh is not None:
+        from helios_tpu.parallel import sharding as shd
+        sarr = shd.sset_arrays(sset)
+        _, _, conv_enter, conv_run = shd.production_runners(
+            phys, mesh, thermo, sset, chunk_iters=chunk_iters)
+        state = state0 if state0 is not None else conv_enter(m, sarr, rad)
+        step = lambda s: conv_run(m, sarr, s)
+    else:
+        state = state0 if state0 is not None else jax.jit(
+            lambda r: convection_loop(phys, m, thermo, r, max_steps=0,
+                                      sset=sset))(rad)
 
-    step = jax.jit(lambda s: convection_loop(
-        phys, m, thermo, rad, max_steps=chunk_iters, sset=sset,
-        state0=s))
+        step = jax.jit(lambda s: convection_loop(
+            phys, m, thermo, rad, max_steps=chunk_iters, sset=sset,
+            state0=s))
 
     chunk_idx = 0
     while bool(state.keep_running):

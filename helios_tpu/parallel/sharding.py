@@ -127,7 +127,24 @@ def _spec(*dims, planet: bool = False):
     return P(*((("planet",) if planet else ()) + dims))
 
 
-def _rad_state_specs(planet: bool = False):
+def _coeff_specs(iso: int, planet: bool = False):
+    """PartitionSpec pytree for CellCache.coeff (Iso/NonIsoCoeffCache):
+    [L, S] members shard the spectral axis, [S] boundary rows too."""
+    from helios_tpu import fastpath as fpath
+
+    sp = _spec(None, AXIS, planet=planet)
+    row = _spec(AXIS, planet=planet)
+    if iso:
+        return fpath.IsoCoeffCache(
+            a=sp, b_nm=sp, planck_coeff=sp, dir_down=sp, dir_up=sp,
+            boa_coeff=row, boa_refl=row, toa=row)
+    lay_fields = {f: sp for f in fpath.NonIsoCoeffCache._fields
+                  if f not in ("boa_coeff", "boa_refl", "toa")}
+    return fpath.NonIsoCoeffCache(boa_coeff=row, boa_refl=row, toa=row,
+                                  **lay_fields)
+
+
+def _rad_state_specs(iso: int, planet: bool = False):
     """PartitionSpec pytree mirroring RadLoopState for shard_map.
 
     Spectral ([.., S] or [.., B]) leaves shard their last axis; layer
@@ -149,7 +166,8 @@ def _rad_state_specs(planet: bool = False):
         scat_trigger=_spec(AXIS, planet=planet),
         F_dir=sp, Fc_dir=sp, meanmolmass_lay=rep1, z_lay=rep1,
         opac_lay=sp, scat_cross_lay=sp,
-        F_add_heat_lay=rep1, F_add_heat_sum=rep1)
+        F_add_heat_lay=rep1, F_add_heat_sum=rep1,
+        coeff=_coeff_specs(iso, planet=planet))
     flux = FluxState(F_down=sp, F_up=sp, Fc_down=sp, Fc_up=sp)
     totals = FluxTotals(F_down_band=sp, F_up_band=sp, F_dir_band=sp,
                         F_down_tot=rep1, F_up_tot=rep1, F_net=rep1)
@@ -201,7 +219,7 @@ def sharded_radiation_loop(phys: Phys, mesh: Mesh,
 
     shm = shard_map(body, mesh=mesh,
                     in_specs=(m_specs, _spec(None, planet=True)),
-                    out_specs=_rad_state_specs(planet=True),
+                    out_specs=_rad_state_specs(phys.iso, planet=True),
                     check_vma=False)
     return jax.jit(shm)
 
@@ -221,7 +239,7 @@ def batched_rce_step(phys: Phys, mesh: Mesh, thermo: Optional[ThermoProps]):
 
     phys_l = _phys_local(phys, mesh)
     m_specs = ModelArrays(**_MODEL_SPECS)
-    state_specs = _rad_state_specs(planet=True)
+    state_specs = _rad_state_specs(phys.iso, planet=True)
 
     def step_body(m_local, state_local):
         one = lambda s: _one_radiation_iteration(phys_l, m_local, thermo,
@@ -240,3 +258,150 @@ def batched_rce_step(phys: Phys, mesh: Mesh, thermo: Optional[ThermoProps]):
         in_specs=(m_specs, _spec(None, planet=True)),
         out_specs=state_specs, check_vma=False))
     return init, step
+
+
+# --------------------------------------------------------------------------- #
+# production pipeline path: single-planet spectral sharding, full RCE
+# --------------------------------------------------------------------------- #
+
+def _conv_state_specs(iso: int, planet: bool = False):
+    """PartitionSpec pytree mirroring ConvLoopState for shard_map."""
+    from helios_tpu import fastpath as fpath
+    from helios_tpu.forward import CellCache, FluxState
+    from helios_tpu.ops.integrate import FluxTotals
+    from helios_tpu.rce.loop import ConvLoopState
+
+    sp = _spec(None, AXIS, planet=planet)
+    rep1 = _spec(None, planet=planet)
+    rep0 = _spec(planet=planet)
+    cells = fpath.FlatCells(*([sp] * len(fpath.FlatCells._fields)))
+    cache = CellCache(
+        cells_or_upper=cells, lower=cells,
+        scat_trigger=_spec(AXIS, planet=planet),
+        F_dir=sp, Fc_dir=sp, meanmolmass_lay=rep1, z_lay=rep1,
+        opac_lay=sp, scat_cross_lay=sp,
+        F_add_heat_lay=rep1, F_add_heat_sum=rep1,
+        coeff=_coeff_specs(iso, planet=planet))
+    flux = FluxState(F_down=sp, F_up=sp, Fc_down=sp, Fc_up=sp)
+    totals = FluxTotals(F_down_band=sp, F_up_band=sp, F_dir_band=sp,
+                        F_down_tot=rep1, F_up_tot=rep1, F_net=rep1)
+    return ConvLoopState(
+        T_lay=rep1, flux=flux, cache=cache, totals=totals, T_store=rep1,
+        prefactor=rep1, F_smooth_sum=rep1, conv_layer=rep1,
+        marked_red=rep1, it=rep0, local_limit=rep0, keep_running=rep0,
+        aborted=rep0)
+
+
+def _sset_arrays(sset):
+    """The device-array pytree of a SpeciesSet: (data tuple, ktemps,
+    kpress).  The static parts (specs list, ordering) stay in closure."""
+    return (tuple(sset.data), sset.ktemps, sset.kpress)
+
+
+def _sset_specs(sset):
+    """PartitionSpecs matching _sset_arrays: per-species opacity tables
+    shard their wavelength-bin axis, Rayleigh cross-sections shard too;
+    VMR sources and (T, P) grids are replicated (they are bin-free)."""
+    from helios_tpu.chem import SpeciesDeviceData
+
+    d = SpeciesDeviceData(
+        opacity_pretab=P(None, None, AXIS, None),
+        scat_cross=P(AXIS),
+        vmr_pretab=P(), vmr_profile_lay=P(), vmr_profile_int=P())
+    return (tuple(d for _ in sset.data), P(), P())
+
+
+def place_species(sset, mesh: Mesh):
+    """device_put every SpeciesSet array with its spectral sharding."""
+    import dataclasses
+
+    from helios_tpu.chem import SpeciesDeviceData
+
+    specs = _sset_specs(sset)
+    data = [SpeciesDeviceData(*(jax.device_put(a, NamedSharding(mesh, s))
+                                for a, s in zip(d, ds)))
+            for d, ds in zip(sset.data, specs[0])]
+    return dataclasses.replace(
+        sset, data=data,
+        ktemps=jax.device_put(sset.ktemps, NamedSharding(mesh, P())),
+        kpress=jax.device_put(sset.kpress, NamedSharding(mesh, P())))
+
+
+def production_runners(phys: Phys, mesh: Mesh,
+                       thermo: Optional[ThermoProps], sset=None,
+                       chunk_iters: Optional[int] = None):
+    """The production multi-chip path of pipeline.run: the FULL radiation
+    and convection loops (incl. on-the-fly opacity mixing when ``sset``
+    is given) for one planet under spectral shard_map.
+
+    Each chip runs the while_loop on its wavelength shard; the
+    band->total psum inside integrate_flux_flat is the single
+    per-iteration ICI collective and keeps every convergence predicate
+    (and the convective adjustment, which consumes the psummed totals)
+    replica-identical, so chips iterate in lockstep.
+
+    Returns (rad_init, rad_run, conv_enter, conv_run), all jitted:
+      rad_init(m, sarr, T0 [L+1])      -> RadLoopState
+      rad_run(m, sarr, state)          -> RadLoopState (chunk_iters cap)
+      conv_enter(m, sarr, rad_state)   -> ConvLoopState (entry check only)
+      conv_run(m, sarr, state)         -> ConvLoopState (chunk_iters cap)
+    ``sarr`` is place_species(sset).data repackaged via sset_arrays(sset)
+    (pass () when sset is None).  ``chunk_iters=None`` runs to
+    convergence in one call.
+    """
+    import dataclasses
+
+    from jax import shard_map
+
+    from helios_tpu.rce.loop import ConvLoopState, convection_loop
+    from helios_tpu.rce.radiative import init_rad_state, radiation_loop
+
+    phys_l = _phys_local(phys, mesh)
+    m_specs = ModelArrays(**_MODEL_SPECS)
+    rad_specs = _rad_state_specs(phys.iso)
+    conv_specs = _conv_state_specs(phys.iso)
+    t_spec = _spec(None)
+    s_specs = _sset_specs(sset) if sset is not None else ()
+
+    def local_sset(sarr):
+        if sset is None:
+            return None
+        data, kt, kp = sarr
+        return dataclasses.replace(sset, data=list(data), ktemps=kt,
+                                   kpress=kp)
+
+    def _shm(body, in_specs, out_specs):
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+    rad_init = _shm(
+        lambda m, sarr, T0: init_rad_state(phys_l, m, T0,
+                                           local_sset(sarr),
+                                           axis_name=AXIS),
+        (m_specs, s_specs, t_spec), rad_specs)
+
+    rad_run = _shm(
+        lambda m, sarr, state: radiation_loop(
+            phys_l, m, thermo, state.T_lay, max_steps=chunk_iters,
+            sset=local_sset(sarr), state0=state, axis_name=AXIS),
+        (m_specs, s_specs, rad_specs), rad_specs)
+
+    conv_enter = _shm(
+        lambda m, sarr, rad: convection_loop(
+            phys_l, m, thermo, rad, max_steps=0, sset=local_sset(sarr),
+            axis_name=AXIS),
+        (m_specs, s_specs, rad_specs), conv_specs)
+
+    conv_run = _shm(
+        lambda m, sarr, state: convection_loop(
+            phys_l, m, thermo, None, max_steps=chunk_iters,
+            sset=local_sset(sarr), state0=state, axis_name=AXIS),
+        (m_specs, s_specs, conv_specs), conv_specs)
+
+    return rad_init, rad_run, conv_enter, conv_run
+
+
+def sset_arrays(sset):
+    """Public alias: the shardable array pytree of a SpeciesSet (pass to
+    production_runners' ``sarr`` argument); () for sset=None."""
+    return () if sset is None else _sset_arrays(sset)

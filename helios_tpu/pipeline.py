@@ -382,6 +382,29 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
 
     T0 = jnp.asarray(initial_temperatures(cfg, phys, arrays))
 
+    # multi-chip: shard the lambda x y grid over `n_spectral_shards`
+    # devices (ICI); the RCE loops then run under shard_map with one
+    # band->total psum per iteration (parallel/sharding.py).  The
+    # reference has no distributed mode at all (SURVEY.md section 2.4).
+    mesh = None
+    if int(cfg.n_spectral_shards) > 1:
+        from helios_tpu.parallel import sharding as shd
+        n_spec = int(cfg.n_spectral_shards)
+        devs = jax.devices()
+        if len(devs) < n_spec:
+            raise RuntimeError(
+                f"n_spectral_shards={n_spec} but only {len(devs)} "
+                "devices are visible")
+        if phys.nbin % n_spec != 0:
+            raise ValueError(
+                f"nbin={phys.nbin} is not divisible by "
+                f"n_spectral_shards={n_spec}")
+        mesh = shd.make_mesh(n_planet=1, n_spectral=n_spec,
+                             devices=devs[:n_spec])
+        arrays = shd.place_model(arrays, mesh)
+        if sset is not None:
+            sset = shd.place_species(sset, mesh)
+
     monitored = (cfg.checkpoint_every > 0 or cfg.realtime_plot
                  or cfg.metrics_file or cfg.profile_dir
                  or cfg.progress) and not phys.singlewalk
@@ -428,7 +451,12 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         rad = monitor_mod.run_radiation_chunked(
             phys, arrays, thermo, T0, chunk_iters=chunk, sset=sset,
             callbacks=callbacks, state0=state0,
-            profile_dir=cfg.profile_dir or None)
+            profile_dir=cfg.profile_dir or None, mesh=mesh)
+    elif mesh is not None:
+        from helios_tpu import monitor as monitor_mod
+        rad = monitor_mod.run_radiation_chunked(
+            phys, arrays, thermo, T0, chunk_iters=None, sset=sset,
+            mesh=mesh)
     else:
         rad = jax.jit(
             lambda t: radiation_loop(phys, arrays, thermo, t,
@@ -452,7 +480,13 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
                     conv_ckpt_path, cfg.checkpoint_every, phys))
             conv = monitor_mod.run_convection_chunked(
                 phys, arrays, thermo, rad, chunk_iters=chunk,
-                sset=sset, callbacks=conv_callbacks, state0=conv_state0)
+                sset=sset, callbacks=conv_callbacks, state0=conv_state0,
+                mesh=mesh)
+        elif mesh is not None:
+            from helios_tpu import monitor as monitor_mod
+            conv = monitor_mod.run_convection_chunked(
+                phys, arrays, thermo, rad, chunk_iters=None, sset=sset,
+                mesh=mesh)
         else:
             conv = jax.jit(
                 lambda r: convection_loop(phys, arrays, thermo, r,

@@ -101,8 +101,14 @@ def conv_temp_step(phys: Phys, m: ModelArrays, totals: int_ops.FluxTotals,
 
 def _one_convection_iteration(phys: Phys, m: ModelArrays,
                               thermo: ThermoProps,
-                              s: ConvLoopState, sset=None) -> ConvLoopState:
-    """Body of the convection loop (computation.py:1030-1164)."""
+                              s: ConvLoopState, sset=None,
+                              axis_name=None) -> ConvLoopState:
+    """Body of the convection loop (computation.py:1030-1164).
+
+    ``axis_name``: spectral mesh axis when running inside shard_map; the
+    band->total psum in integrate_flux_flat keeps the totals (and so the
+    convective adjustment and every convergence predicate)
+    replica-identical across chips."""
     L = phys.nlayer
 
     # --- convective adjustment (uses previous iteration's fluxes) ---
@@ -125,7 +131,7 @@ def _one_convection_iteration(phys: Phys, m: ModelArrays,
         lambda: compute_cells(phys, m, T_adj, T_int, sset),
         lambda: s.cache)
     flux = solve_fluxes(phys, m, cache, T_adj, s.flux)
-    totals = integrate_flux_flat(phys, m, flux, cache.F_dir)
+    totals = integrate_flux_flat(phys, m, flux, cache.F_dir, axis_name)
 
     # --- re-mark convective zones with the post-solve temperatures ---
     kappa_lay, c_p_lay = kappa_cp_lay(thermo, T_adj, m.p_lay)
@@ -180,8 +186,8 @@ def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
                     rad: RadLoopState,
                     max_steps: Optional[int] = None,
                     sset=None,
-                    state0: Optional[ConvLoopState] = None
-                    ) -> ConvLoopState:
+                    state0: Optional[ConvLoopState] = None,
+                    axis_name=None) -> ConvLoopState:
     """Run the radiative-convective interplay to equilibrium on device.
 
     Entered from the final radiation-loop state; like the reference, the
@@ -193,9 +199,10 @@ def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
     of initializing from ``rad``.
     """
     L = phys.nlayer
-    dtype = rad.T_lay.dtype
 
     if state0 is not None:
+        # continuation: ``rad`` may be None (the restored state carries
+        # everything)
         start_it = state0.it
 
         def cond0(s):
@@ -206,9 +213,11 @@ def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
 
         return jax.lax.while_loop(
             cond0,
-            lambda s: _one_convection_iteration(phys, m, thermo, s, sset),
+            lambda s: _one_convection_iteration(phys, m, thermo, s, sset,
+                                                axis_name),
             state0)
 
+    dtype = rad.T_lay.dtype
     state = ConvLoopState(
         T_lay=rad.T_lay, flux=rad.flux, cache=rad.cache, totals=rad.totals,
         T_store=jnp.zeros(L + 1, dtype),
@@ -240,5 +249,7 @@ def convection_loop(phys: Phys, m: ModelArrays, thermo: ThermoProps,
         return c
 
     return jax.lax.while_loop(
-        cond, lambda s: _one_convection_iteration(phys, m, thermo, s, sset),
+        cond,
+        lambda s: _one_convection_iteration(phys, m, thermo, s, sset,
+                                            axis_name),
         state)

@@ -152,6 +152,57 @@ def test_flat_forward_matches_legacy(iso, clouds, dir_beam):
 
 
 @pytest.mark.parametrize("iso", [1, 0])
+@pytest.mark.parametrize("dir_beam", [0, 1])
+def test_coeff_cache_matches_direct_form(iso, dir_beam):
+    """The Planck-linear coefficient cache (precomputed at cell-cache
+    refresh, assembled per iteration with a few fmas) must reproduce the
+    direct single-shot coefficient computation to rounding."""
+    from helios_tpu.forward import compute_cells
+    from helios_tpu.ops import interp as interp_ops
+
+    phys, arrays = make_case(iso, clouds=1, dir_beam=dir_beam)
+    T = jnp.linspace(1500.0, 800.0, phys.nlayer + 1)
+    T_int = interp_ops.interface_temperatures(T)
+    cache = compute_cells(phys, arrays, T, T_int)
+
+    L, Y = phys.nlayer, phys.ny
+    planckband_lay = planck_mod.planckband_layers(
+        arrays.planck_grid, T, arrays.starflux, real_star=phys.real_star,
+        dim=phys.plancktable_dim, step=phys.plancktable_step)
+    B_lay = fp.band_to_flat(planckband_lay[:L], Y)
+    B_star = fp.band_to_flat(planckband_lay[L], Y)
+    B_surf = fp.band_to_flat(planckband_lay[L + 1], Y)
+    alb = fp.band_to_flat(arrays.surf_albedo, Y)
+    common = dict(scat_corr=phys.scat_corr,
+                  i2s_transition=phys.i2s_transition, epsi=phys.epsi,
+                  mu_star=phys.mu_star, dir_beam=phys.dir_beam,
+                  f_factor=phys.f_factor, R_star=phys.R_star, a=phys.a)
+
+    if iso:
+        want = fp.iso_sweep_coeffs_flat(
+            cache.cells_or_upper, B_lay, B_star, B_surf, cache.F_dir,
+            alb, **common)
+        got = fp.iso_coeffs_from_cache(cache.coeff, B_lay, B_surf)
+    else:
+        planckband_int = planck_mod.planckband_interfaces(
+            arrays.planck_grid, T_int, dim=phys.plancktable_dim,
+            step=phys.plancktable_step)
+        B_int = fp.band_to_flat(planckband_int, Y)
+        want = fp.noniso_sweep_coeffs_flat(
+            cache.cells_or_upper, cache.lower, B_lay, B_int[:-1],
+            B_int[1:], B_star, B_surf, cache.F_dir, cache.Fc_dir, alb,
+            delta_tau_limit=phys.delta_tau_limit, **common)
+        got = fp.noniso_coeffs_from_cache(cache.coeff, B_lay, B_int[:-1],
+                                          B_int[1:], B_surf)
+
+    for field in want._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(want, field)), rtol=1e-12, atol=1e-300,
+            err_msg=field)
+
+
+@pytest.mark.parametrize("iso", [1, 0])
 def test_flat_matrix_method_matches_legacy(iso):
     phys, arrays = make_case(iso, clouds=0, dir_beam=0, method="matrix")
     T = jnp.linspace(1600.0, 700.0, phys.nlayer + 1)

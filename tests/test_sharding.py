@@ -98,3 +98,112 @@ def test_sharded_radiation_loop_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(state.totals.F_net[p]), np.asarray(want.totals.F_net),
             rtol=1e-9)
+
+
+def _setup_noniso_conv(nbin=16, ny=4, nlayer=12):
+    """Strongly-heated interior + optically thick + shallow adiabat:
+    convective instability appears within a few dozen radiation steps
+    (the test_rce.py end-to-end convection scenario)."""
+    table = synthetic_premixed_table(nbin=nbin, ny=ny, ntemp=10, npress=8,
+                                     seed=3)
+    table.kpoints *= 10.0
+    cfg = HeliosConfig(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                       R_star=30.0, T_star=30.0, T_intern=700.0,
+                       scattering="yes", direct_beam="no",
+                       convection="yes", run_type="iterative",
+                       kappa_value=0.1, nlayer=nlayer,
+                       p_boa=1e9, p_toa=1e3, adapt_interval=6).finalize()
+    phys, arrays = build_model(cfg, table)
+    assert phys.iso == 0
+    return phys, arrays
+
+
+def test_production_runners_full_rce_matches_single():
+    """The production pipeline path (radiation AND convection under
+    shard_map, non-iso) matches the unsharded loops -- the multi-chip
+    mode pipeline.run enables via n_spectral_shards."""
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import make_const_thermo
+
+    phys, arrays = _setup_noniso_conv()
+    thermo = make_const_thermo(0.1)
+    mesh = shd.make_mesh(n_planet=1, n_spectral=4,
+                         devices=jax.devices()[:4])
+    m_sharded = shd.place_model(arrays, mesh)
+
+    # non-isothermal start: from an isothermal profile F_net is pure
+    # rounding residue and |c|^0.1 amplifies psum-order noise into fake
+    # trajectory divergence (see .claude/skills/verify notes)
+    T0 = jnp.linspace(1500.0, 500.0, phys.nlayer + 1)
+
+    rad_init, rad_run, conv_enter, conv_run = shd.production_runners(
+        phys, mesh, thermo, None, chunk_iters=200)
+    state = rad_init(m_sharded, (), T0)
+    state = rad_run(m_sharded, (), state)
+    cstate = conv_enter(m_sharded, (), state)
+    assert bool(cstate.keep_running), "no convective instability in test"
+    cstate = conv_run(m_sharded, (), cstate)
+
+    want_rad = jax.jit(lambda t: radiation_loop(
+        phys, arrays, thermo, t, max_steps=200))(T0)
+    assert int(state.it) == int(want_rad.it)
+    np.testing.assert_allclose(np.asarray(state.T_lay),
+                               np.asarray(want_rad.T_lay), rtol=1e-10)
+
+    want_conv = jax.jit(lambda r: convection_loop(
+        phys, arrays, thermo, r, max_steps=200))(want_rad)
+    assert int(cstate.it) == int(want_conv.it)
+    np.testing.assert_allclose(np.asarray(cstate.T_lay),
+                               np.asarray(want_conv.T_lay), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(cstate.totals.F_net),
+                               np.asarray(want_conv.totals.F_net),
+                               rtol=1e-7)
+    np.testing.assert_array_equal(np.asarray(cstate.conv_layer),
+                                  np.asarray(want_conv.conv_layer))
+
+
+def test_production_runners_on_the_fly_sharded():
+    """On-the-fly opacity mixing (RO) under spectral shard_map: species
+    tables sharded over wavelength bins, loop matches the single device."""
+    from helios_tpu import chem
+
+    B, ny, L = 16, 4, 8
+    donor = synthetic_premixed_table(nbin=B, ny=ny, ntemp=8, npress=6,
+                                     seed=1)
+    specs = [chem.SpeciesSpec("H2O", True, True, "1e-3"),
+             chem.SpeciesSpec("CO2", True, False, "1e-4"),
+             chem.SpeciesSpec("H2", False, True, "0.9"),
+             chem.SpeciesSpec("He", False, False, "0.1")]
+    sset = chem.build_species_set(
+        specs, ktemps=donor.temperatures, kpress=donor.pressures,
+        nbin=B, ny=ny, nlayer=L,
+        opacity_tables={"H2O": donor.kpoints, "CO2": donor.kpoints * 3.0},
+        scat_tables={"H2": 8.49e-45 / donor.wave_centers ** 4})
+
+    cfg = HeliosConfig(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                       R_star=1.0, T_star=4000.0, T_intern=200.0,
+                       scattering="yes", direct_beam="no", convection="no",
+                       run_type="iterative", iso_input="yes", nlayer=L,
+                       p_boa=1e8, p_toa=1e3,
+                       opacity_mixing="on-the-fly").finalize()
+    phys, arrays = build_model(cfg, donor)
+
+    mesh = shd.make_mesh(n_planet=1, n_spectral=4,
+                         devices=jax.devices()[:4])
+    m_sharded = shd.place_model(arrays, mesh)
+    sset_sh = shd.place_species(sset, mesh)
+    sarr = shd.sset_arrays(sset_sh)
+
+    T0 = jnp.linspace(1500.0, 700.0, L + 1)
+    rad_init, rad_run, _, _ = shd.production_runners(
+        phys, mesh, None, sset_sh, chunk_iters=25)
+    state = rad_init(m_sharded, sarr, T0)
+    state = rad_run(m_sharded, sarr, state)
+
+    want = jax.jit(lambda t: radiation_loop(
+        phys, arrays, None, t, max_steps=25, sset=sset))(T0)
+    assert int(state.it) == int(want.it) == 25
+    np.testing.assert_allclose(np.asarray(state.T_lay),
+                               np.asarray(want.T_lay), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(state.totals.F_net),
+                               np.asarray(want.totals.F_net), rtol=1e-8)
