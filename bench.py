@@ -1,17 +1,24 @@
-"""Headline benchmark: spectral-grid throughput of the flux pipeline.
+"""Benchmarks: throughput of the hot paths on the reference workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric, HEADLINE FIRST:
+  1. fluxpass_gridcells_per_s_per_chip -- full forward flux pipeline
+     (opacity interp -> transmission -> beam -> sweep -> integration)
+     per pass at 105 layers x 385 bins x 20 Gauss points, fp64.
+  2. rce_iterations_per_s -- the production radiative-equilibrium
+     iteration (flux solve every step, cell-cache refresh every 10th).
+  3. fluxpass_noniso_gridcells_per_s -- non-isothermal forward pass.
+  4. ro_mix_ms -- one on-the-fly Random Overlap opacity-mixing pass.
+  5. sharding_equality_max_rel -- 8-virtual-device CPU-mesh sanity
+     (sharded RCE == single device), run in a subprocess.
 
-Workload matches the reference default (BASELINE.md): 105 layers x 385
-bins x 20 Gauss points, premixed table, full forward flux pipeline
-(opacity interpolation -> transmission -> direct beam -> two-stream sweep
--> spectral integration) per pass.  ``vs_baseline`` is measured against
-the first-build fp64 single-chip figure recorded below (the reference
-publishes no performance numbers; BASELINE.md).
+``vs_baseline`` of the headline is measured against the first-build fp64
+single-chip figure recorded below (the reference publishes no performance
+numbers; BASELINE.md).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,7 +27,7 @@ import time
 BASELINE_CELLS_PER_S = 15.5e6
 
 
-def main():
+def _enable_cache():
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
@@ -30,11 +37,18 @@ def main():
     except Exception:
         pass
 
-    import jax.numpy as jnp
-    import numpy as np
 
+def _emit(metric, value, unit, vs_baseline=None):
+    rec = {"metric": metric, "value": round(float(value), 4),
+           "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(float(vs_baseline), 3)
+    print(json.dumps(rec), flush=True)
+
+
+def _workload(iso=True):
     from helios_tpu.config import HeliosConfig
-    from helios_tpu.forward import build_model, forward_fluxes
+    from helios_tpu.forward import build_model
     from helios_tpu.io.opacity import synthetic_premixed_table
 
     table = synthetic_premixed_table(nbin=385, ny=20)
@@ -42,14 +56,19 @@ def main():
         planet="manual", g=2140.0, a=0.03142, R_planet=1.138,
         R_star=0.805, T_star=5040.0, T_intern=100.0,
         scattering="yes", direct_beam="no", convection="no",
-        run_type="iterative", iso_input="yes").finalize()
-    phys, arrays = build_model(cfg, table)
+        run_type="iterative", iso_input="yes" if iso else "no").finalize()
+    return build_model(cfg, table)
 
+
+def bench_fluxpass(iso=True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.forward import forward_fluxes
+
+    phys, arrays = _workload(iso=iso)
     T_lay = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
-
-    # K passes chained inside one jit, exactly like the production RCE
-    # loop (a device-side lax.while_loop): measures device throughput,
-    # not host dispatch latency
     K = 50
 
     @jax.jit
@@ -59,9 +78,7 @@ def main():
             return T + 1e-12 * totals.F_net   # data-dependent chaining
         return jax.lax.fori_loop(0, K, body, T)
 
-    # warmup/compile
     fwd(T_lay).block_until_ready()
-
     n_rep = 5
     t0 = time.perf_counter()
     out = T_lay
@@ -69,15 +86,161 @@ def main():
         out = fwd(out)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / (n_rep * K)
+    return phys.nlayer * phys.nbin * phys.ny / dt
 
-    cells = phys.nlayer * phys.nbin * phys.ny
-    value = cells / dt
-    print(json.dumps({
-        "metric": "fluxpass_gridcells_per_s_per_chip",
-        "value": round(value, 1),
-        "unit": "cells/s",
-        "vs_baseline": round(value / BASELINE_CELLS_PER_S, 3),
-    }))
+
+def bench_rce_iterations():
+    """Production RCE iteration rate: the radiation while_loop body
+    (sweep every step, cell-cache refresh every 10th, temperature
+    update + convergence predicates)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.rce.radiative import radiation_loop
+
+    phys, arrays = _workload(iso=True)
+    T0 = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    K = 150
+
+    run = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
+                                           max_steps=K))
+    state = run(T0)
+    jax.block_until_ready(state.T_lay)
+    assert int(state.it) == K
+    t0 = time.perf_counter()
+    state = run(T0)
+    jax.block_until_ready(state.T_lay)
+    dt = time.perf_counter() - t0
+    return K / dt
+
+
+def bench_ro_mix():
+    """One on-the-fly Random Overlap mixing pass (2 absorbers, 105
+    layers x 385 bins x 20 y)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu import chem
+    from helios_tpu.io.opacity import synthetic_premixed_table
+
+    B, ny, L = 385, 20, 105
+    donor = synthetic_premixed_table(nbin=B, ny=ny, ntemp=8, npress=6,
+                                     seed=1)
+    specs = [chem.SpeciesSpec("H2O", True, False, "1e-3"),
+             chem.SpeciesSpec("CO2", True, False, "1e-4"),
+             chem.SpeciesSpec("H2", False, False, "0.9"),
+             chem.SpeciesSpec("He", False, False, "0.1")]
+    sset = chem.build_species_set(
+        specs, ktemps=donor.temperatures, kpress=donor.pressures,
+        nbin=B, ny=ny, nlayer=L,
+        opacity_tables={"H2O": donor.kpoints, "CO2": donor.kpoints * 3.0})
+    _, gw = __import__("helios_tpu.io.opacity", fromlist=["x"]
+                       ).gauss_legendre_ypoints(ny)
+
+    T = jnp.asarray(np.linspace(1800.0, 600.0, L))
+    p = jnp.asarray(np.geomspace(1e9, 1e-1, L))
+    wave = jnp.asarray(donor.wave_centers)
+    gy = jnp.asarray(donor.gauss_y)
+    gw = jnp.asarray(gw)
+    K = 10
+
+    @jax.jit
+    def mix(T):
+        def body(_, T):
+            opac, _scat, _mmm = chem.mixed_opacities(
+                sset, T, p, wave, gw, gy, ro_method=1, scat=0)
+            return T + 1e-30 * opac[0, 0, 0]
+        return jax.lax.fori_loop(0, K, body, T)
+
+    mix(T).block_until_ready()
+    t0 = time.perf_counter()
+    mix(T).block_until_ready()
+    return (time.perf_counter() - t0) / K * 1e3
+
+
+def bench_sharding_subprocess():
+    """8-virtual-CPU-device mesh sanity: sharded production RCE == single
+    device (run in a subprocess so the CPU platform flag doesn't clash
+    with the TPU main process)."""
+    code = r"""
+import os, json
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS","")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+from helios_tpu.config import HeliosConfig
+from helios_tpu.forward import build_model
+from helios_tpu.io.opacity import synthetic_premixed_table
+from helios_tpu.parallel import sharding as shd
+from helios_tpu.rce.radiative import radiation_loop
+
+table = synthetic_premixed_table(nbin=64, ny=4, ntemp=10, npress=8, seed=2)
+cfg = HeliosConfig(planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                   R_star=1.0, T_star=4000.0, T_intern=100.0,
+                   scattering="yes", direct_beam="no", convection="no",
+                   run_type="iterative", iso_input="yes", nlayer=12,
+                   p_boa=1e8, p_toa=1e3).finalize()
+phys, arrays = build_model(cfg, table)
+mesh = shd.make_mesh(n_planet=1, n_spectral=8)
+m_sh = shd.place_model(arrays, mesh)
+T0 = jnp.linspace(1500.0, 700.0, phys.nlayer + 1)
+rad_init, rad_run, _, _ = shd.production_runners(phys, mesh, None, None,
+                                                 chunk_iters=60)
+st = rad_run(m_sh, (), rad_init(m_sh, (), T0))
+want = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
+                                        max_steps=60))(T0)
+rel = float(np.max(np.abs(np.asarray(st.T_lay) - np.asarray(want.T_lay))
+                   / np.asarray(want.T_lay)))
+print(json.dumps({"sharded_T_max_rel": rel, "its": int(st.it)}))
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
+        ":" + env["PYTHONPATH"] if "PYTHONPATH" in env else "")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=420)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        return rec["sharded_T_max_rel"]
+    except Exception:
+        return None
+
+
+def main():
+    _enable_cache()
+    import jax  # noqa: F401  (initialize backend after cache config)
+
+    cells = bench_fluxpass(iso=True)
+    _emit("fluxpass_gridcells_per_s_per_chip", round(cells, 1), "cells/s",
+          cells / BASELINE_CELLS_PER_S)
+
+    try:
+        _emit("rce_iterations_per_s", bench_rce_iterations(), "it/s")
+    except Exception as e:
+        print(json.dumps({"metric": "rce_iterations_per_s",
+                          "error": str(e)[:200]}), flush=True)
+
+    try:
+        cells_n = bench_fluxpass(iso=False)
+        _emit("fluxpass_noniso_gridcells_per_s", round(cells_n, 1),
+              "cells/s")
+    except Exception as e:
+        print(json.dumps({"metric": "fluxpass_noniso_gridcells_per_s",
+                          "error": str(e)[:200]}), flush=True)
+
+    try:
+        _emit("ro_mix_ms", bench_ro_mix(), "ms")
+    except Exception as e:
+        print(json.dumps({"metric": "ro_mix_ms", "error": str(e)[:200]}),
+              flush=True)
+
+    rel = bench_sharding_subprocess()
+    if rel is not None:
+        _emit("sharding_equality_max_rel", rel, "rel")
 
 
 if __name__ == "__main__":

@@ -275,6 +275,94 @@ def iso_coeffs_from_cache(cc: IsoCoeffCache, planck_lay_flat,
         toa=cc.toa)
 
 
+def pairs_coeff_active(phys) -> bool:
+    """True when the coefficient cache is stored as stacked df64 pairs:
+    the pairs-native Pallas iteration path (fp64 runs, iterative method).
+
+    Must be consistent everywhere a CellCache is built or its sharding
+    spec derived -- it changes the coeff leaves' shapes ([...]->[2,...])."""
+    return (phys.pallas_active and phys.dtype == "float64"
+            and phys.flux_calc_method == "iteration")
+
+
+def split_coeff_cache(coeff):
+    """Coefficient cache -> same NamedTuple with every leaf split into a
+    stacked [2, ...] float32 (hi, lo) pair.
+
+    Done once per cell-cache refresh so the per-iteration solve never
+    touches XLA-emulated fp64: sources are assembled with df64 fmas and
+    fed straight to the pairs-native Pallas kernels."""
+    from helios_tpu.ops import df64
+
+    def sp(x):
+        d = df64.split(x)
+        return jnp.stack([d.hi, d.lo])
+
+    return type(coeff)(*(sp(x) for x in coeff))
+
+
+def _df(stacked):
+    from helios_tpu.ops import df64
+    return df64.DF(stacked[0], stacked[1])
+
+
+def _band_to_flat_df(p, ny):
+    from helios_tpu.ops import df64
+    return df64.DF(band_to_flat(p.hi, ny), band_to_flat(p.lo, ny))
+
+
+def iso_solve_pairs(cc, B_lay_df, B_surf_df, F_dir0, F_up_prev, ny, *,
+                    n_passes: int):
+    """Pairs-native iso flux solve: cc is a split IsoCoeffCache
+    ([2, ...] leaves), B_* are ops.df64.DF [L, B] / [1, B] Planck pairs,
+    F_dir0/F_up_prev fp64.  Returns (F_down, F_up) fp64 [I, S]."""
+    from helios_tpu.kernels.sweep_pallas import fused_iso_sweep_df64_pairs
+    from helios_tpu.ops import df64
+
+    pc_ = _df(cc.planck_coeff)
+    Bl = _band_to_flat_df(B_lay_df, ny)
+    src_down = df64.fma(pc_, Bl, _df(cc.dir_down))
+    src_up = df64.fma(pc_, Bl, _df(cc.dir_up))
+    Bs = _band_to_flat_df(df64.DF(B_surf_df.hi[0], B_surf_df.lo[0]), ny)
+    boa_emis = df64.mul(_df(cc.boa_coeff), Bs)
+
+    fd, fu = fused_iso_sweep_df64_pairs(
+        _df(cc.a), _df(cc.b_nm), src_down, src_up, _df(cc.toa),
+        _df(cc.boa_refl), boa_emis, df64.split(F_dir0),
+        df64.split(F_up_prev), n_passes=n_passes)
+    return (df64.combine(fd, jnp.float64), df64.combine(fu, jnp.float64))
+
+
+def noniso_solve_pairs(cc, B_lay_df, B_int_df, B_surf_df, F_dir0,
+                       F_up_prev, Fc_up_prev, ny, *, n_passes: int):
+    """Pairs-native non-iso flux solve: cc a split NonIsoCoeffCache,
+    B_int_df the DF interface Planck pairs [I, B].  Returns the four
+    fp64 flux arrays."""
+    from helios_tpu.kernels.sweep_pallas import (
+        fused_noniso_sweep_df64_pairs)
+    from helios_tpu.ops import df64
+
+    Bl = _band_to_flat_df(B_lay_df, ny)
+    Bb = _band_to_flat_df(df64.DF(B_int_df.hi[:-1], B_int_df.lo[:-1]), ny)
+    Ba = _band_to_flat_df(df64.DF(B_int_df.hi[1:], B_int_df.lo[1:]), ny)
+    Bs = _band_to_flat_df(df64.DF(B_surf_df.hi[0], B_surf_df.lo[0]), ny)
+
+    fma2 = lambda At, Bt, Ab, Bb_, D: df64.add(
+        df64.fma(_df(At), Bt, df64.mul(_df(Ab), Bb_)), _df(D))
+    src_ud = fma2(cc.At_ud, Bl, cc.Ab_ud, Ba, cc.D_ud)
+    src_uu = fma2(cc.At_uu, Ba, cc.Ab_uu, Bl, cc.D_uu)
+    src_ld = fma2(cc.At_ld, Bb, cc.Ab_ld, Bl, cc.D_ld)
+    src_lu = fma2(cc.At_lu, Bl, cc.Ab_lu, Bb, cc.D_lu)
+    boa_emis = df64.mul(_df(cc.boa_coeff), Bs)
+
+    out = fused_noniso_sweep_df64_pairs(
+        _df(cc.a_up), _df(cc.b_up), src_ud, src_uu,
+        _df(cc.a_low), _df(cc.b_low), src_ld, src_lu,
+        _df(cc.toa), _df(cc.boa_refl), boa_emis, df64.split(F_dir0),
+        df64.split(F_up_prev), df64.split(Fc_up_prev), n_passes=n_passes)
+    return tuple(df64.combine(p, jnp.float64) for p in out)
+
+
 def fband_iso_flat(C: FlatIsoCoeffs, F_dir0, F_up_prev, *, n_passes: int,
                    use_pallas: bool):
     """Iterative iso solve on flat arrays; returns (F_down, F_up) [I, S]."""

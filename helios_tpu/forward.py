@@ -177,6 +177,7 @@ class ModelArrays(NamedTuple):
     gauss_weight: jnp.ndarray
     # radiation inputs
     planck_grid: jnp.ndarray       # [dim+1, B]
+    planck_grid_pairs: jnp.ndarray  # [2, dim+1, B] f32 (hi, lo) split
     starflux: jnp.ndarray          # [B]
     surf_albedo: jnp.ndarray       # [B]
     # clouds (zeros if inactive)
@@ -298,6 +299,8 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
         gauss_y=jnp.asarray(table.gauss_y, dt),
         gauss_weight=jnp.asarray(gauss_w, dt),
         planck_grid=planck_grid.astype(dt),
+        planck_grid_pairs=planck_mod.split_planck_grid(
+            planck_grid.astype(dt)),
         starflux=starflux,
         surf_albedo=jnp.asarray(surf_albedo, dt),
         cloud_abs_cross_lay=(jnp.asarray(cloud_result.abs_cross_lay, dt)
@@ -389,7 +392,8 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
 
     planckband_lay = planck_mod.planckband_layers(
         m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
-        dim=phys.plancktable_dim, step=phys.plancktable_step)
+        dim=phys.plancktable_dim, step=phys.plancktable_step,
+        pairs=m.planck_grid_pairs)
     planck_star_flat = fp.band_to_flat(planckband_lay[L], Y)
 
     # scattering on/off (kernels.cu scat flag): zero the cross sections
@@ -505,6 +509,12 @@ def compute_cells(phys: Phys, m: ModelArrays, T_lay, T_int,
     F_add_heat_lay = m.add_heat_dens * delta_z
     F_add_heat_sum = jnp.cumsum(F_add_heat_lay)
 
+    if fp.pairs_coeff_active(phys):
+        # store the coefficient cache as stacked (hi, lo) float32 pairs:
+        # the per-iteration solve then runs pairs-native (df64 fmas +
+        # pairs Pallas kernels) with no emulated-fp64 splits/combines
+        coeff = fp.split_coeff_cache(coeff)
+
     return CellCache(cells_or_upper=cells, lower=lower,
                      scat_trigger=scat_trigger, F_dir=F_dir, Fc_dir=Fc_dir,
                      meanmolmass_lay=mmm_lay, z_lay=z_lay,
@@ -541,11 +551,40 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
     Flat [.., S] layout throughout the iterative path; the matrix method
     reshapes to the reference layout around the tridiagonal solve."""
     from helios_tpu import fastpath as fp
+    from helios_tpu.ops import df64
 
     L, Y = phys.nlayer, phys.ny
+
+    # pairs-native path (fp64 + Pallas + iterative): Planck lookup,
+    # source assembly, and the sweep all stay in two-float32 pairs; the
+    # only fp64 arrays produced are the output fluxes
+    if fp.pairs_coeff_active(phys):
+        Bp = planck_mod.planckband_layers_df(
+            m.planck_grid_pairs, T_lay, m.starflux,
+            real_star=phys.real_star, dim=phys.plancktable_dim,
+            step=phys.plancktable_step)
+        B_lay_df = df64.DF(Bp.hi[:L], Bp.lo[:L])
+        B_surf_df = df64.DF(Bp.hi[L + 1:], Bp.lo[L + 1:])
+        if phys.iso:
+            F_down, F_up = fp.iso_solve_pairs(
+                cache.coeff, B_lay_df, B_surf_df, cache.F_dir[0],
+                flux_state.F_up, Y, n_passes=phys.n_sweep_passes)
+            return flux_state._replace(F_down=F_down, F_up=F_up)
+        T_int = interp_ops.interface_temperatures(T_lay)
+        B_int_df = planck_mod.planckband_interfaces_df(
+            m.planck_grid_pairs, T_int, dim=phys.plancktable_dim,
+            step=phys.plancktable_step)
+        F_down, F_up, Fc_down, Fc_up = fp.noniso_solve_pairs(
+            cache.coeff, B_lay_df, B_int_df, B_surf_df, cache.F_dir[0],
+            flux_state.F_up, flux_state.Fc_up, Y,
+            n_passes=phys.n_sweep_passes)
+        return FluxState(F_down=F_down, F_up=F_up, Fc_down=Fc_down,
+                         Fc_up=Fc_up)
+
     planckband_lay = planck_mod.planckband_layers(
         m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
-        dim=phys.plancktable_dim, step=phys.plancktable_step)
+        dim=phys.plancktable_dim, step=phys.plancktable_step,
+        pairs=m.planck_grid_pairs)
 
     common = dict(scat_corr=phys.scat_corr,
                   i2s_transition=phys.i2s_transition, epsi=phys.epsi,
@@ -575,7 +614,7 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
         T_int = interp_ops.interface_temperatures(T_lay)
         planckband_int = planck_mod.planckband_interfaces(
             m.planck_grid, T_int, dim=phys.plancktable_dim,
-            step=phys.plancktable_step)
+            step=phys.plancktable_step, pairs=m.planck_grid_pairs)
         upper, lower = cache.cells_or_upper, cache.lower
         if phys.flux_calc_method == "iteration":
             B_int_flat = fp.band_to_flat(planckband_int, Y)

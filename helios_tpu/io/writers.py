@@ -624,22 +624,35 @@ def write_mean_extinction(r: RunResult):
                                                      r.ross_opac_T_star)))
 
 
+def write_tp_coupling_snapshot(path: str, nlayer: int, p_lay, p_int,
+                               T_lay, *, speed_up: int = 0,
+                               iter_nr: int = 0,
+                               T_previous: Optional[np.ndarray] = None):
+    """Core coupling TP writer (write.py:716-771 format): BOA row first,
+    then layers; with the speed-up the profile is averaged 50/50 with the
+    previous coupling iteration's."""
+    T_lay = np.asarray(T_lay)
+    T_current = np.concatenate([[T_lay[nlayer]], T_lay[:nlayer]])
+    T_new = T_current
+    if speed_up == 1 and iter_nr > 0 and T_previous is not None:
+        T_new = 0.5 * T_current + 0.5 * np.asarray(T_previous)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("{:<24}{:<18}".format("press.[10^-6bar]", "temp.[K]"))
+        f.write("\n{:<24g}{:<18g}".format(p_int[0], T_new[0]))
+        for i in range(nlayer):
+            f.write("\n{:<24g}".format(p_lay[i])
+                    + "{:<18g}".format(T_new[i + 1]))
+
+
 def write_tp_for_coupling(r: RunResult, T_previous: Optional[np.ndarray]
                           = None):
     """write.py:716-771.  T_previous (optional, [nlayer+1] BOA-first) is
     averaged 50/50 with the current profile (coupling speed-up)."""
-    r.makedirs()
-    T_current = np.concatenate([[r.T_lay[r.nlayer]], r.T_lay[:r.nlayer]])
-    T_new = T_current
-    if (r.coupling_speed_up == 1 and r.coupling_iter_nr > 0
-            and T_previous is not None):
-        T_new = 0.5 * T_current + 0.5 * np.asarray(T_previous)
-    with open(r.path(f"_tp_coupling_{r.coupling_iter_nr}.dat"), "w") as f:
-        f.write("{:<24}{:<18}".format("press.[10^-6bar]", "temp.[K]"))
-        f.write("\n{:<24g}{:<18g}".format(r.p_int[0], T_new[0]))
-        for i in range(r.nlayer):
-            f.write("\n{:<24g}".format(r.p_lay[i])
-                    + "{:<18g}".format(T_new[i + 1]))
+    write_tp_coupling_snapshot(
+        r.path(f"_tp_coupling_{r.coupling_iter_nr}.dat"), r.nlayer,
+        r.p_lay, r.p_int, r.T_lay, speed_up=r.coupling_speed_up,
+        iter_nr=r.coupling_iter_nr, T_previous=T_previous)
 
 
 def calculate_conv_flux(r: RunResult) -> np.ndarray:

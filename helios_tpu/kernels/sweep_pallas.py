@@ -386,6 +386,29 @@ def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
     the recursion runs in df64 (ops.df64) on the VPU, and the pair is
     recombined to float64 on return.  Matches the fp64 lax.scan oracle to
     ~1e-13 relative at ~10x its speed (Mosaic cannot lower fp64 at all).
+    """
+    from helios_tpu.ops import df64
+
+    out_dtype = a.dtype
+    fd, fu = fused_iso_sweep_df64_pairs(
+        df64.split(a), df64.split(b_nm), df64.split(src_down),
+        df64.split(src_up), df64.split(toa), df64.split(boa_refl),
+        df64.split(boa_emis), df64.split(F_dir0), df64.split(F_up_prev),
+        n_passes=n_passes, tile_s=tile_s)
+    return df64.combine(fd, out_dtype), df64.combine(fu, out_dtype)
+
+
+@partial(jax.jit, static_argnames=("n_passes", "tile_s"))
+def fused_iso_sweep_df64_pairs(a, b_nm, src_down, src_up, toa, boa_refl,
+                               boa_emis, F_dir0, F_up_prev, *,
+                               n_passes: int, tile_s: int = 512):
+    """Pairs-native fused iso solve: every argument is an ops.df64.DF
+    (hi, lo) float32 pair; returns (F_down, F_up) as DF pairs [L+1, S].
+
+    This is the production entry point: the coefficient cache stores
+    pairs, so the per-iteration path never touches XLA-emulated fp64
+    (the split/combine casts alone cost ~0.1 ms/iteration at the
+    reference workload).
 
     tile_s defaults lower than the fp32 kernel: the pair representation
     doubles the VMEM footprint per tile, and the double-buffered pipeline
@@ -393,21 +416,23 @@ def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
     """
     from helios_tpu.ops import df64
 
-    L, S = a.shape
-    out_dtype = a.dtype
+    L, S = a.hi.shape
     tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
     s_pad = tile_s * ((S + tile_s - 1) // tile_s)
     n_tiles = s_pad // tile_s
 
-    def pair(x):
-        return df64.split(_pad_to(x, s_pad))
+    def pad2(p, row=False):
+        if row and p.hi.ndim == 1:
+            return [_pad_to(p.hi[None, :], s_pad),
+                    _pad_to(p.lo[None, :], s_pad)]
+        return [_pad_to(p.hi, s_pad), _pad_to(p.lo, s_pad)]
 
     ins = []
     for arr in (a, b_nm, src_down, src_up):
-        ins.extend(pair(arr))
+        ins.extend(pad2(arr))
     for arr in (toa, boa_refl, boa_emis, F_dir0):
-        ins.extend(pair(arr[None, :]))
-    ins.extend(pair(F_up_prev))
+        ins.extend(pad2(arr, row=True))
+    ins.extend(pad2(F_up_prev))
 
     lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
                             memory_space=pltpu.VMEM)
@@ -429,9 +454,8 @@ def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
             interpret=_use_interpret(),
         )(*ins)
 
-    F_down = df64.combine(df64.DF(fdh, fdl), out_dtype)
-    F_up = df64.combine(df64.DF(fuh, ful), out_dtype)
-    return F_down[:, :S], F_up[:, :S]
+    return (df64.DF(fdh[:, :S], fdl[:, :S]),
+            df64.DF(fuh[:, :S], ful[:, :S]))
 
 
 @partial(jax.jit, static_argnames=("n_passes", "tile_s"))
@@ -493,6 +517,27 @@ def fused_noniso_sweep_df64(a_up, b_up, src_up_down, src_up_up, a_low,
     Mirrors fastpath.fband_noniso_flat: inputs are the FlatNonIsoCoeffs
     members ([L, S] fp64, [S] boundaries) plus the previous solve's
     upward fluxes; returns (F_down, F_up, Fc_down, Fc_up) fp64.
+    """
+    from helios_tpu.ops import df64
+
+    out_dtype = a_up.dtype
+    sp = df64.split
+    out = fused_noniso_sweep_df64_pairs(
+        sp(a_up), sp(b_up), sp(src_up_down), sp(src_up_up), sp(a_low),
+        sp(b_low), sp(src_low_down), sp(src_low_up), sp(toa),
+        sp(boa_refl), sp(boa_emis), sp(F_dir0), sp(F_up_prev),
+        sp(Fc_up_prev), n_passes=n_passes, tile_s=tile_s)
+    return tuple(df64.combine(p, out_dtype) for p in out)
+
+
+@partial(jax.jit, static_argnames=("n_passes", "tile_s"))
+def fused_noniso_sweep_df64_pairs(a_up, b_up, src_up_down, src_up_up,
+                                  a_low, b_low, src_low_down, src_low_up,
+                                  toa, boa_refl, boa_emis, F_dir0,
+                                  F_up_prev, Fc_up_prev, *, n_passes: int,
+                                  tile_s: int = 256):
+    """Pairs-native fused non-iso solve: all arguments ops.df64.DF
+    (hi, lo) float32 pairs; returns (F_down, F_up, Fc_down, Fc_up) pairs.
 
     tile_s = 256: the non-iso kernel holds 2x the iso kernel's arrays
     (two half-layer recurrences), and the double-buffered tile pipeline
@@ -500,23 +545,25 @@ def fused_noniso_sweep_df64(a_up, b_up, src_up_down, src_up_up, a_low,
     """
     from helios_tpu.ops import df64
 
-    L, S = a_up.shape
-    out_dtype = a_up.dtype
+    L, S = a_up.hi.shape
     tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
     s_pad = tile_s * ((S + tile_s - 1) // tile_s)
     n_tiles = s_pad // tile_s
 
-    def pair(x):
-        return df64.split(_pad_to(x, s_pad))
+    def pad2(p, row=False):
+        if row and p.hi.ndim == 1:
+            return [_pad_to(p.hi[None, :], s_pad),
+                    _pad_to(p.lo[None, :], s_pad)]
+        return [_pad_to(p.hi, s_pad), _pad_to(p.lo, s_pad)]
 
     ins = []
     for arr in (a_up, b_up, src_up_down, src_up_up,
                 a_low, b_low, src_low_down, src_low_up):
-        ins.extend(pair(arr))
+        ins.extend(pad2(arr))
     for arr in (toa, boa_refl, boa_emis, F_dir0):
-        ins.extend(pair(arr[None, :]))
-    ins.extend(pair(F_up_prev))
-    ins.extend(pair(Fc_up_prev))
+        ins.extend(pad2(arr, row=True))
+    ins.extend(pad2(F_up_prev))
+    ins.extend(pad2(Fc_up_prev))
 
     lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
                             memory_space=pltpu.VMEM)
@@ -543,9 +590,8 @@ def fused_noniso_sweep_df64(a_up, b_up, src_up_down, src_up_up, a_low,
         )(*ins)
 
     fdh, fdl, fuh, ful, fcdh, fcdl, fcuh, fcul = out
-    comb = lambda h, l: df64.combine(df64.DF(h, l), out_dtype)[:, :S]
-    return (comb(fdh, fdl), comb(fuh, ful),
-            comb(fcdh, fcdl), comb(fcuh, fcul))
+    pr = lambda h, l: df64.DF(h[:, :S], l[:, :S])
+    return (pr(fdh, fdl), pr(fuh, ful), pr(fcdh, fcdl), pr(fcuh, fcul))
 
 
 def fband_iso_pallas(cells, planckband_lay, F_dir, surf_albedo, F_up_prev,

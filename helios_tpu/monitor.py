@@ -249,3 +249,65 @@ class PlotCallback:
         if self.plot.interactive:
             import matplotlib.pyplot as plt
             plt.pause(0.001)
+
+
+class DebugChecker:
+    """``debug = yes`` runtime diagnostics.
+
+    The reference's debug mode printf-warns from inside the CUDA kernels
+    on negative spectral fluxes (kernels.cu:1456-1459) and relies on the
+    user watching stdout; inside a jitted while_loop there is no such
+    hook, so the TPU analogue checks the loop state at every chunk
+    boundary: finiteness assertions on temperatures and fluxes (raising
+    FloatingPointError like jax.config.debug_nans would) and
+    negative-flux counters printed as warnings.
+    """
+
+    def __init__(self, stream=None):
+        self.stream = stream
+
+    def __call__(self, info: ChunkInfo) -> None:
+        s = info.state
+        it = int(s.it)
+        T = np.asarray(s.T_lay)
+        if not np.all(np.isfinite(T)):
+            raise FloatingPointError(
+                f"[debug] non-finite temperature at iteration {it}: "
+                f"{T}")
+        for name in ("F_down", "F_up"):
+            arr = np.asarray(getattr(s.flux, name))
+            if not np.all(np.isfinite(arr)):
+                raise FloatingPointError(
+                    f"[debug] non-finite {name} at iteration {it}")
+            neg = int((arr < 0).sum())
+            if neg:
+                print(f"[debug] WARNING: {neg} negative {name} values "
+                      f"at iteration {it} (kernels.cu:1456-1459 "
+                      "debug warning analogue)",
+                      file=self.stream, flush=True)
+
+
+class CouplingTPWriter:
+    """Mid-run coupling TP writes every ``interval`` iterations
+    (reference computation.py:967-971, write.py:716-771): external
+    chemistry codes watch this file to iterate against a live HELIOS run.
+    """
+
+    def __init__(self, path: str, nlayer: int, p_lay, p_int,
+                 interval: int):
+        self.path = path
+        self.nlayer = nlayer
+        self.p_lay = np.asarray(p_lay)
+        self.p_int = np.asarray(p_int)
+        self.interval = max(int(interval), 1)
+        self._last = None
+
+    def __call__(self, info: ChunkInfo) -> None:
+        from helios_tpu.io.writers import write_tp_coupling_snapshot
+        it = int(info.state.it)
+        if self._last is not None and it - self._last < self.interval:
+            return
+        self._last = it
+        write_tp_coupling_snapshot(
+            self.path, self.nlayer, self.p_lay, self.p_int,
+            np.asarray(info.state.T_lay))

@@ -102,3 +102,115 @@ def combine(a: DF, dtype=jnp.float64):
 def const(x, like) -> DF:
     """Python float -> df64 with zero lo, shaped/broadcast like `like`."""
     return DF(jnp.full_like(like, x), jnp.zeros_like(like))
+
+
+def neg(a: DF) -> DF:
+    return DF(-a.hi, -a.lo)
+
+
+def sub(a: DF, b: DF) -> DF:
+    return add(a, neg(b))
+
+
+def div(a: DF, b: DF) -> DF:
+    """df64 division: one fp32 quotient estimate + one df64 residual
+    refinement (relative error ~2^-45)."""
+    q0 = a.hi / b.hi
+    # r = a - q0*b in df64 (q0 is exact fp32)
+    p, e = two_prod(q0, b.hi)
+    s, se = two_sum(a.hi, -p)
+    r = s + (se + a.lo - e - q0 * b.lo)
+    q1 = r / b.hi
+    return DF(*quick_two_sum(q0, q1))
+
+
+def sqrt(a: DF) -> DF:
+    """df64 square root: fp32 estimate + one df64 Newton step
+    (24 -> ~48 correct bits).  a must be >= 0; returns 0 for hi <= 0."""
+    hi = jnp.maximum(a.hi, 0.0)
+    s0 = jnp.sqrt(hi)
+    safe = jnp.where(s0 > 0.0, s0, 1.0)
+    d = div(DF(hi, jnp.where(s0 > 0.0, a.lo, 0.0)), DF(safe, 0.0))
+    s, e = two_sum(safe, d.hi)
+    half = DF(0.5 * s, 0.5 * (e + d.lo))
+    zero = s0 <= 0.0
+    return DF(jnp.where(zero, 0.0, half.hi), jnp.where(zero, 0.0, half.lo))
+
+
+# ln(2) as a two-float32 pair (hi rounds f64 ln2 to f32; lo the remainder)
+_LN2 = 0.6931471805599453094172321
+_LN2_HI = 0.6931471824645996     # float32(ln2)
+_LN2_LO = _LN2 - _LN2_HI         # ~ -1.9e-9
+_INV_LN2 = 1.4426950408889634
+# 1/n! for the exp(r) Taylor series, |r| <= ln2/2, split into f32 pairs
+_EXP_COEFFS = []
+_f = 1.0
+for _n in range(13, 0, -1):
+    _f = 1.0
+    for _i in range(2, _n + 1):
+        _f *= _i
+    c = 1.0 / _f
+    import numpy as _np
+    c_hi = float(_np.float32(c))
+    _EXP_COEFFS.append((c_hi, c - c_hi))
+del _f, _n, _i, c, c_hi
+
+
+def exp(a: DF) -> DF:
+    """df64 exponential via range reduction exp(a) = 2^k * exp(r),
+    r = a - k*ln2 with |r| <= ln2/2, Taylor series in df64.
+
+    The result is flushed to 0 where exp(a) underflows float32
+    (a < ~-87) and clamped where it would overflow (a > ~88) -- the
+    double-float representation cannot hold values outside the fp32
+    exponent range (same flush the hi/lo split applies to any fp64
+    input).  Relative accuracy ~1e-13 for results inside [2^-102, 2^102]
+    (|a| <~ 70); below that the lo limb goes float32-subnormal and
+    accuracy degrades gracefully to fp32's ~6e-8 -- physically irrelevant
+    for the transmission use (such layers are opaque to 31 decades).
+    Safe inside Pallas kernels.
+    """
+    k = jnp.round(a.hi * jnp.float32(_INV_LN2))
+    # r = a - k*ln2 in df64; k is an exact small float32
+    kl2 = scale(DF(jnp.float32(_LN2_HI) * jnp.ones_like(a.hi),
+                   jnp.float32(_LN2_LO) * jnp.ones_like(a.hi)), k)
+    r = sub(a, kl2)
+
+    # Horner over 1/13! .. 1/1!, then +1
+    acc = DF(jnp.full_like(a.hi, _EXP_COEFFS[0][0]),
+             jnp.full_like(a.hi, _EXP_COEFFS[0][1]))
+    for c_hi, c_lo in _EXP_COEFFS[1:]:
+        acc = fma(acc, r, DF(jnp.full_like(a.hi, c_hi),
+                             jnp.full_like(a.hi, c_lo)))
+    acc = fma(acc, r, const(1.0, a.hi))
+
+    # 2^k by exponent-bit construction (exact scaling)
+    import jax as _jax
+    ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    two_k = _jax.lax.bitcast_convert_type(
+        ((ki + jnp.int32(127)) << jnp.int32(23)), jnp.float32)
+    out = DF(acc.hi * two_k, acc.lo * two_k)
+
+    lo_flush = a.hi < -87.3
+    hi_clamp = a.hi > 88.0
+    big = 3.0e38
+    out_hi = jnp.where(lo_flush, 0.0, jnp.where(hi_clamp, big, out.hi))
+    out_lo = jnp.where(lo_flush | hi_clamp, 0.0, out.lo)
+    return DF(out_hi, out_lo)
+
+
+def lt(a: DF, b: DF):
+    """a < b, lexicographic on the normalized (hi, lo) pair."""
+    return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
+
+
+def where(cond, a: DF, b: DF) -> DF:
+    return DF(jnp.where(cond, a.hi, b.hi), jnp.where(cond, a.lo, b.lo))
+
+
+def minimum(a: DF, b: DF) -> DF:
+    return where(lt(a, b), a, b)
+
+
+def maximum(a: DF, b: DF) -> DF:
+    return where(lt(a, b), b, a)

@@ -73,6 +73,7 @@ _MODEL_SPECS = dict(
     delta_lambda=P("spectral"),
     gauss_y=P(), gauss_weight=P(),
     planck_grid=P(None, "spectral"),
+    planck_grid_pairs=P(None, None, "spectral"),
     starflux=P("spectral"), surf_albedo=P("spectral"),
     cloud_abs_cross_lay=P(None, "spectral"),
     cloud_scat_cross_lay=P(None, "spectral"),
@@ -127,14 +128,19 @@ def _spec(*dims, planet: bool = False):
     return P(*((("planet",) if planet else ()) + dims))
 
 
-def _coeff_specs(iso: int, planet: bool = False):
+def _coeff_specs(phys: Phys, planet: bool = False):
     """PartitionSpec pytree for CellCache.coeff (Iso/NonIsoCoeffCache):
-    [L, S] members shard the spectral axis, [S] boundary rows too."""
+    [L, S] members shard the spectral axis, [S] boundary rows too.
+
+    In pairs mode (fastpath.pairs_coeff_active) every leaf carries a
+    leading stacked (hi, lo) axis of 2."""
     from helios_tpu import fastpath as fpath
 
-    sp = _spec(None, AXIS, planet=planet)
-    row = _spec(AXIS, planet=planet)
-    if iso:
+    pairs = fpath.pairs_coeff_active(phys)
+    lead = (None,) if pairs else ()
+    sp = _spec(*lead, None, AXIS, planet=planet)
+    row = _spec(*lead, AXIS, planet=planet)
+    if phys.iso:
         return fpath.IsoCoeffCache(
             a=sp, b_nm=sp, planck_coeff=sp, dir_down=sp, dir_up=sp,
             boa_coeff=row, boa_refl=row, toa=row)
@@ -144,7 +150,7 @@ def _coeff_specs(iso: int, planet: bool = False):
                                   **lay_fields)
 
 
-def _rad_state_specs(iso: int, planet: bool = False):
+def _rad_state_specs(phys: Phys, planet: bool = False):
     """PartitionSpec pytree mirroring RadLoopState for shard_map.
 
     Spectral ([.., S] or [.., B]) leaves shard their last axis; layer
@@ -167,7 +173,7 @@ def _rad_state_specs(iso: int, planet: bool = False):
         F_dir=sp, Fc_dir=sp, meanmolmass_lay=rep1, z_lay=rep1,
         opac_lay=sp, scat_cross_lay=sp,
         F_add_heat_lay=rep1, F_add_heat_sum=rep1,
-        coeff=_coeff_specs(iso, planet=planet))
+        coeff=_coeff_specs(phys, planet=planet))
     flux = FluxState(F_down=sp, F_up=sp, Fc_down=sp, Fc_up=sp)
     totals = FluxTotals(F_down_band=sp, F_up_band=sp, F_dir_band=sp,
                         F_down_tot=rep1, F_up_tot=rep1, F_net=rep1)
@@ -219,7 +225,7 @@ def sharded_radiation_loop(phys: Phys, mesh: Mesh,
 
     shm = shard_map(body, mesh=mesh,
                     in_specs=(m_specs, _spec(None, planet=True)),
-                    out_specs=_rad_state_specs(phys.iso, planet=True),
+                    out_specs=_rad_state_specs(phys, planet=True),
                     check_vma=False)
     return jax.jit(shm)
 
@@ -239,7 +245,7 @@ def batched_rce_step(phys: Phys, mesh: Mesh, thermo: Optional[ThermoProps]):
 
     phys_l = _phys_local(phys, mesh)
     m_specs = ModelArrays(**_MODEL_SPECS)
-    state_specs = _rad_state_specs(phys.iso, planet=True)
+    state_specs = _rad_state_specs(phys, planet=True)
 
     def step_body(m_local, state_local):
         one = lambda s: _one_radiation_iteration(phys_l, m_local, thermo,
@@ -264,7 +270,7 @@ def batched_rce_step(phys: Phys, mesh: Mesh, thermo: Optional[ThermoProps]):
 # production pipeline path: single-planet spectral sharding, full RCE
 # --------------------------------------------------------------------------- #
 
-def _conv_state_specs(iso: int, planet: bool = False):
+def _conv_state_specs(phys: Phys, planet: bool = False):
     """PartitionSpec pytree mirroring ConvLoopState for shard_map."""
     from helios_tpu import fastpath as fpath
     from helios_tpu.forward import CellCache, FluxState
@@ -281,7 +287,7 @@ def _conv_state_specs(iso: int, planet: bool = False):
         F_dir=sp, Fc_dir=sp, meanmolmass_lay=rep1, z_lay=rep1,
         opac_lay=sp, scat_cross_lay=sp,
         F_add_heat_lay=rep1, F_add_heat_sum=rep1,
-        coeff=_coeff_specs(iso, planet=planet))
+        coeff=_coeff_specs(phys, planet=planet))
     flux = FluxState(F_down=sp, F_up=sp, Fc_down=sp, Fc_up=sp)
     totals = FluxTotals(F_down_band=sp, F_up_band=sp, F_dir_band=sp,
                         F_down_tot=rep1, F_up_tot=rep1, F_net=rep1)
@@ -358,8 +364,8 @@ def production_runners(phys: Phys, mesh: Mesh,
 
     phys_l = _phys_local(phys, mesh)
     m_specs = ModelArrays(**_MODEL_SPECS)
-    rad_specs = _rad_state_specs(phys.iso)
-    conv_specs = _conv_state_specs(phys.iso)
+    rad_specs = _rad_state_specs(phys)
+    conv_specs = _conv_state_specs(phys)
     t_spec = _spec(None)
     s_specs = _sset_specs(sset) if sset is not None else ()
 

@@ -125,7 +125,8 @@ def post_process(phys: Phys, m: ModelArrays, T_lay, flux_state,
 
     planckband_lay = planck_mod.planckband_layers(
         m.planck_grid, T_lay, m.starflux, real_star=phys.real_star,
-        dim=phys.plancktable_dim, step=phys.plancktable_step)
+        dim=phys.plancktable_dim, step=phys.plancktable_step,
+        pairs=m.planck_grid_pairs)
     trans_weight_band, contr_band = int_ops.contribution_function(
         trans_full, planckband_lay, m.gauss_weight, phys.epsi)
 
@@ -405,9 +406,14 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         if sset is not None:
             sset = shd.place_species(sset, mesh)
 
+    # mid-run coupling TP writes need the chunked runner, as does debug
+    # mode (its finiteness/negative-flux checks run at chunk boundaries)
+    coupl_interval = (int(cfg.coupl_tp_write_interval) if cfg.coupling
+                      else 0)
     monitored = (cfg.checkpoint_every > 0 or cfg.realtime_plot
                  or cfg.metrics_file or cfg.profile_dir
-                 or cfg.progress) and not phys.singlewalk
+                 or cfg.progress or phys.debug
+                 or coupl_interval > 0) and not phys.singlewalk
     if monitored:
         from helios_tpu import checkpoint as ckpt_mod
         from helios_tpu import monitor as monitor_mod
@@ -421,6 +427,13 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
                 monitor_mod.MetricsWriter(cfg.metrics_file))
         if cfg.realtime_plot:
             obs_callbacks.append(monitor_mod.PlotCallback(phys))
+        if phys.debug:
+            obs_callbacks.append(monitor_mod.DebugChecker())
+        if coupl_interval > 0:
+            obs_callbacks.append(monitor_mod.CouplingTPWriter(
+                _coupling_tp_path(cfg, cfg.coupling_iter_nr), phys.nlayer,
+                np.asarray(arrays.p_lay), np.asarray(arrays.p_int),
+                coupl_interval))
         callbacks = list(obs_callbacks)
         ckpt_path = conv_ckpt_path = None
         if cfg.checkpoint_every > 0:
@@ -445,6 +458,8 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
             chunk = min(chunk, cfg.checkpoint_every)
         if cfg.realtime_plot:
             chunk = min(chunk, cfg.n_plot)
+        if coupl_interval > 0:
+            chunk = min(chunk, coupl_interval)
         # round to the 10-iteration cache-refresh cadence so checkpoints
         # land on refresh boundaries and resume is bitwise-exact
         chunk = max(chunk // 10 * 10, 10)

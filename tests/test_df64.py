@@ -168,3 +168,55 @@ def test_fp32_pallas_dispatch(rng):
         assert g.dtype == f32
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-6)
+
+
+def test_df64_div_sqrt_exp(rng):
+    """The transcendental df64 ops used by the fused cells kernel."""
+    x = jnp.asarray(rng.uniform(0.01, 100.0, 50000))
+    y = jnp.asarray(rng.uniform(0.01, 100.0, 50000))
+    dx, dy = df64.split(x), df64.split(y)
+
+    q = df64.combine(jax.jit(df64.div)(dx, dy))
+    np.testing.assert_allclose(np.asarray(q), np.asarray(x / y), rtol=5e-14)
+
+    s = df64.combine(jax.jit(df64.sqrt)(dx))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(jnp.sqrt(x)),
+                               rtol=2e-14)
+    assert float(df64.combine(df64.sqrt(df64.split(jnp.zeros(1))))[0]) == 0.0
+
+    # full df64 accuracy while the result stays inside [2^-102, 2^102]
+    a = jnp.asarray(rng.uniform(-50.0, 50.0, 50000))
+    e = df64.combine(jax.jit(df64.exp)(df64.split(a)))
+    # typical ~1e-13; rare outliers ~1e-11 from the sloppy-add worst case
+    np.testing.assert_allclose(np.asarray(e), np.asarray(jnp.exp(a)),
+                               rtol=5e-11)
+    # graceful fp32-level degradation below (lo limb subnormal), flush at
+    # the fp32 exponent floor
+    a2 = jnp.asarray(rng.uniform(-87.0, -50.0, 1000))
+    e2 = df64.combine(df64.exp(df64.split(a2)))
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(jnp.exp(a2)),
+                               rtol=2e-7)
+    edges = df64.combine(df64.exp(df64.split(
+        jnp.asarray([-1000.0, -100.0, 0.0, 5.0]))))
+    np.testing.assert_allclose(np.asarray(edges),
+                               [0.0, 0.0, 1.0, float(jnp.exp(5.0))],
+                               rtol=1e-12)
+
+
+def test_df64_minmax_where(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, 1000))
+    y = jnp.asarray(rng.uniform(-1, 1, 1000))
+    dx, dy = df64.split(x), df64.split(y)
+    # compare against the split-roundtripped values (split keeps ~49 of
+    # 53 mantissa bits, so exact equality must be on the df64 values)
+    xr, yr = df64.combine(dx), df64.combine(dy)
+    mn = df64.combine(df64.minimum(dx, dy))
+    mx = df64.combine(df64.maximum(dx, dy))
+    np.testing.assert_array_equal(np.asarray(mn),
+                                  np.asarray(jnp.minimum(xr, yr)))
+    np.testing.assert_array_equal(np.asarray(mx),
+                                  np.asarray(jnp.maximum(xr, yr)))
+    # lo-limb tiebreak: 1 vs 1-1e-12 differ only in the lo part
+    a = df64.split(jnp.asarray([1.0]))
+    b = df64.split(jnp.asarray([1.0 - 1e-12]))
+    assert bool(df64.lt(b, a)[0]) and not bool(df64.lt(a, b)[0])

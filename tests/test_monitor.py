@@ -135,3 +135,90 @@ def test_convection_chunked_matches_straight(tmp_path):
                                   np.asarray(straight.T_lay))
     assert all(ph == "convection" for ph, _ in seen)
     assert [it for _, it in seen] == sorted(it for _, it in seen)
+
+
+def test_debug_checker_flags_nonfinite_and_negative(capsys):
+    """DebugChecker: negative-flux warnings + finiteness errors (the
+    debug=yes analogue of kernels.cu:1456-1459)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from helios_tpu import monitor
+
+    class FakeFlux:
+        F_down = jnp.asarray([[1.0, -2.0], [3.0, 4.0]])
+        F_up = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+
+    class FakeState:
+        it = jnp.asarray(7)
+        T_lay = jnp.asarray([100.0, 200.0])
+        flux = FakeFlux()
+
+    info = monitor.ChunkInfo(state=FakeState(), its_done=1, wall_s=0.1,
+                             phase="radiation")
+    cb = monitor.DebugChecker()
+    cb(info)
+    outp = capsys.readouterr().out
+    assert "negative F_down" in outp and "1 " in outp
+
+    FakeState.T_lay = jnp.asarray([100.0, float("nan")])
+    with _pytest.raises(FloatingPointError):
+        cb(info)
+
+
+def test_pipeline_mid_run_coupling_tp_writes(tmp_path):
+    """coupl_tp_write_interval: the coupling TP file appears DURING the
+    run, not only at the end (computation.py:967-971)."""
+    import os
+    import numpy as np
+    from helios_tpu import pipeline
+    from helios_tpu.config import HeliosConfig
+    from helios_tpu.io.opacity import synthetic_premixed_table
+
+    from helios_tpu import chem
+
+    # coupling requires on-the-fly mixing (read.py constraint)
+    B, ny, L = 8, 4, 10
+    table = synthetic_premixed_table(nbin=B, ny=ny, ntemp=8, npress=6,
+                                     seed=3)
+    specs = [chem.SpeciesSpec("H2O", True, False, "1e-3"),
+             chem.SpeciesSpec("H2", False, False, "0.9"),
+             chem.SpeciesSpec("He", False, False, "0.1")]
+    sset = chem.build_species_set(
+        specs, ktemps=table.temperatures, kpress=table.pressures,
+        nbin=B, ny=ny, nlayer=L, opacity_tables={"H2O": table.kpoints})
+    cfg = HeliosConfig(
+        name="cpl", output_dir=str(tmp_path) + "/",
+        planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+        R_star=1.0, T_star=4000.0, T_intern=200.0,
+        scattering="no", direct_beam="no", convection="no",
+        run_type="iterative", iso_input="yes", nlayer=L,
+        p_boa=1e8, p_toa=1e3, rad_convergence_limit=1e-6,
+        opacity_mixing="on-the-fly",
+        coupling="yes", coupl_tp_write_interval=30, chunk_iters=30)
+
+    seen = {}
+    from helios_tpu.monitor import CouplingTPWriter
+    orig = CouplingTPWriter.__call__
+
+    def spy(self, info):
+        orig(self, info)
+        if os.path.exists(self.path):
+            seen.setdefault("first_it", int(info.state.it))
+
+    CouplingTPWriter.__call__ = spy
+    try:
+        out = pipeline.run(cfg, table=table, sset=sset)
+    finally:
+        CouplingTPWriter.__call__ = orig
+
+    # written mid-run: first snapshot appeared well before convergence
+    assert seen and seen["first_it"] < int(out.rad.it)
+    path = os.path.join(str(tmp_path), "cpl", "cpl_tp_coupling_0.dat")
+    assert os.path.exists(path)
+    rows = open(path).read().splitlines()
+    assert rows[0].startswith("press.")
+    assert len(rows) == cfg.nlayer + 2
+    # final write matches the converged profile (BOA row first)
+    T = np.asarray(out.result.T_lay)
+    assert abs(float(rows[1].split()[1]) - T[cfg.nlayer]) / T[cfg.nlayer] < 1e-5
