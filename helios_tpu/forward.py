@@ -189,6 +189,10 @@ class ModelArrays(NamedTuple):
     g_0_cloud_int: jnp.ndarray         # [L+1, B]
     # additional heating density [erg s^-1 cm^-3] (zeros if inactive)
     add_heat_dens: jnp.ndarray         # [L]
+    # stellar energy-budget correction factor applied to starflux /
+    # planck_grid[dim] (kernels.cu:420-468); calc_F_ratio divides it back
+    # out to recover the ORIGINAL stellar BB (host_functions.py:663)
+    star_corr_factor: jnp.ndarray = 1.0  # scalar
 
 
 class FluxState(NamedTuple):
@@ -252,11 +256,13 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
         starflux = np.zeros(table.nbin, cfg.np_dtype)
     starflux = jnp.asarray(starflux, dt)
 
+    star_corr = jnp.asarray(1.0, dt)
     if phys.energy_correction:
-        planck_grid, starflux, _corr = planck_mod.correct_incident_energy(
-            planck_grid, starflux, jnp.asarray(table.delta_wave, dt),
-            real_star=phys.real_star, T_star=phys.T_star,
-            dim=phys.plancktable_dim)
+        planck_grid, starflux, star_corr = (
+            planck_mod.correct_incident_energy(
+                planck_grid, starflux, jnp.asarray(table.delta_wave, dt),
+                real_star=phys.real_star, T_star=phys.T_star,
+                dim=phys.plancktable_dim))
 
     if surf_albedo is None:
         alb = cfg.surf_albedo if not isinstance(cfg.surf_albedo, str) else 0.0
@@ -315,7 +321,8 @@ def build_model(cfg: HeliosConfig, table: OpacityTable,
                               if cloud_result is not None else zeros_ib),
         g_0_cloud_int=(jnp.asarray(cloud_result.g_0_int, dt)
                        if cloud_result is not None else zeros_ib),
-        add_heat_dens=zeros_l)
+        add_heat_dens=zeros_l,
+        star_corr_factor=star_corr)
     return phys, arrays
 
 

@@ -82,6 +82,7 @@ _MODEL_SPECS = dict(
     cloud_scat_cross_int=P(None, "spectral"),
     g_0_cloud_int=P(None, "spectral"),
     add_heat_dens=P(),
+    star_corr_factor=P(),
 )
 
 
@@ -101,6 +102,96 @@ def place_model(m: ModelArrays, mesh: Mesh) -> ModelArrays:
     """device_put every model array with its spectral sharding."""
     sh = model_shardings(mesh)
     return ModelArrays(*(jax.device_put(a, s) for a, s in zip(m, sh)))
+
+
+# --------------------------------------------------------------------------- #
+# spectral padding: run ANY bin count on ANY shard count
+# --------------------------------------------------------------------------- #
+# The reference workload is 385 bins (R=50 table, SURVEY.md section 0) =
+# 5*7*11 -- indivisible by 2/4/8 chips.  Padding the bin axis up to a
+# shard multiple with zero `delta_lambda` makes sharding bin-count
+# agnostic: padded bins replicate the LAST real bin, so every per-cell
+# quantity stays finite and physical, while the band->total integrals
+# weight them by delta_lambda = 0 -- adding exact float zeros to the
+# per-shard partial sums.  The temperature trajectory and all
+# convergence predicates are therefore unchanged.
+
+def padded_nbin(nbin: int, n_shards: int) -> int:
+    return -(-nbin // n_shards) * n_shards
+
+
+def _edge_pad(a, axis: int, n: int):
+    """Pad axis by n entries replicating the last slice."""
+    if n == 0:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, n)
+    return jnp.pad(a, pad, mode="edge")
+
+
+def pad_spectral(phys: Phys, m: ModelArrays,
+                 n_shards: int) -> Tuple[Phys, ModelArrays]:
+    """Pad the wavelength-bin axis of (Phys, ModelArrays) to a multiple
+    of ``n_shards``.  Identity when already divisible."""
+    import dataclasses
+
+    B, Y = phys.nbin, phys.ny
+    Bp = padded_nbin(B, n_shards)
+    nb = Bp - B
+    if nb == 0:
+        return phys, m
+
+    def pad_S(a):  # [.., S] bin-major flat spectral axis
+        lead = a.shape[:-1]
+        cube = a.reshape(lead + (B, Y))
+        return _edge_pad(cube, len(lead), nb).reshape(lead + (Bp * Y,))
+
+    zeros_dl = jnp.zeros((nb,), m.delta_lambda.dtype)
+    m = m._replace(
+        ktable=pad_S(m.ktable),
+        scat_cross_table=_edge_pad(m.scat_cross_table, 2, nb),
+        lambda_centers=_edge_pad(m.lambda_centers, 0, nb),
+        lambda_edges=_edge_pad(m.lambda_edges, 0, nb),
+        delta_lambda=jnp.concatenate([m.delta_lambda, zeros_dl]),
+        planck_grid=_edge_pad(m.planck_grid, 1, nb),
+        planck_grid_pairs=_edge_pad(m.planck_grid_pairs, 2, nb),
+        starflux=_edge_pad(m.starflux, 0, nb),
+        surf_albedo=_edge_pad(m.surf_albedo, 0, nb),
+        cloud_abs_cross_lay=_edge_pad(m.cloud_abs_cross_lay, 1, nb),
+        cloud_scat_cross_lay=_edge_pad(m.cloud_scat_cross_lay, 1, nb),
+        g_0_cloud_lay=_edge_pad(m.g_0_cloud_lay, 1, nb),
+        cloud_abs_cross_int=_edge_pad(m.cloud_abs_cross_int, 1, nb),
+        cloud_scat_cross_int=_edge_pad(m.cloud_scat_cross_int, 1, nb),
+        g_0_cloud_int=_edge_pad(m.g_0_cloud_int, 1, nb))
+    return dataclasses.replace(phys, nbin=Bp), m
+
+
+def pad_species(sset, n_shards: int):
+    """Pad every per-species wavelength-bin axis like pad_spectral."""
+    import dataclasses
+
+    B = sset.data[0].opacity_pretab.shape[2]
+    nb = padded_nbin(B, n_shards) - B
+    if nb == 0:
+        return sset
+    data = [d._replace(opacity_pretab=_edge_pad(d.opacity_pretab, 2, nb),
+                       scat_cross=_edge_pad(d.scat_cross, 0, nb))
+            for d in sset.data]
+    return dataclasses.replace(sset, data=data)
+
+
+def strip_flux(flux: FluxState, nbin: int, ny: int) -> FluxState:
+    """Drop padded bins from a FluxState ([.., S_pad] -> [.., nbin*ny])."""
+    S = flux.F_down.shape[-1]
+    if S == nbin * ny:
+        return flux
+
+    def strip(a):
+        lead = a.shape[:-1]
+        cube = a.reshape(lead + (S // ny, ny))
+        return cube[..., :nbin, :].reshape(lead + (nbin * ny,))
+
+    return jax.tree.map(strip, flux)
 
 
 def sharded_forward(phys: Phys, mesh: Mesh):

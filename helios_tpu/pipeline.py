@@ -147,12 +147,17 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
                    kappa_lay=None, c_p_lay=None, entropy_lay=None,
                    phase_number_lay=None, relaxed=0,
                    final_limit=None, singlewalk=None,
-                   star_corr_factor=1.0,
+                   star_corr_factor=None,
                    cloud_result=None) -> writers.RunResult:
     """Assemble the host-side RunResult snapshot (one device->host pull)."""
     L = phys.nlayer
     cache = post["cache"]
     totals = post["totals"]
+    # the stellar energy-budget correction rides on ModelArrays so every
+    # caller (pipeline, ensemble, tests) gets the right eclipse-depth
+    # normalisation (host_functions.py:663)
+    if star_corr_factor is None:
+        star_corr_factor = float(np.asarray(m.star_corr_factor))
 
     delta_z, z_lay = None, None
     from helios_tpu.forward import altitude_z
@@ -169,7 +174,7 @@ def collect_result(cfg: HeliosConfig, phys: Phys, m: ModelArrays,
         iso=phys.iso, convection=phys.convection,
         singlewalk=phys.singlewalk if singlewalk is None else singlewalk,
         T_star=phys.T_star, R_planet=phys.R_planet, R_star=phys.R_star,
-        F_intern=phys.F_intern, star_corr_factor=star_corr_factor,
+        F_intern=phys.F_intern, star_corr_factor=float(star_corr_factor),
         input_kappa_value=cfg.kappa_value,
         input_surf_albedo=cfg.surf_albedo,
         albedo_file_surface_name=cfg.albedo_surface_name,
@@ -388,6 +393,7 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
     # band->total psum per iteration (parallel/sharding.py).  The
     # reference has no distributed mode at all (SURVEY.md section 2.4).
     mesh = None
+    phys_run, arrays_run, sset_run = phys, arrays, sset
     if int(cfg.n_spectral_shards) > 1:
         from helios_tpu.parallel import sharding as shd
         n_spec = int(cfg.n_spectral_shards)
@@ -396,15 +402,21 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
             raise RuntimeError(
                 f"n_spectral_shards={n_spec} but only {len(devs)} "
                 "devices are visible")
+        # any bin count runs on any shard count: pad the spectral axis
+        # up to a shard multiple with zero delta_lambda (the reference
+        # grid is 385 = 5*7*11 bins, indivisible by 2/4/8 chips)
         if phys.nbin % n_spec != 0:
-            raise ValueError(
-                f"nbin={phys.nbin} is not divisible by "
-                f"n_spectral_shards={n_spec}")
+            phys_run, arrays_run = shd.pad_spectral(phys, arrays, n_spec)
+            if sset is not None:
+                sset_run = shd.pad_species(sset, n_spec)
         mesh = shd.make_mesh(n_planet=1, n_spectral=n_spec,
                              devices=devs[:n_spec])
-        arrays = shd.place_model(arrays, mesh)
-        if sset is not None:
-            sset = shd.place_species(sset, mesh)
+        arrays_run = shd.place_model(arrays_run, mesh)
+        if sset_run is not None:
+            sset_run = shd.place_species(sset_run, mesh)
+        if phys_run.nbin == phys.nbin:
+            # no padding: post-processing can reuse the placed arrays
+            arrays, sset = arrays_run, sset_run
 
     # mid-run coupling TP writes need the chunked runner, as does debug
     # mode (its finiteness/negative-flux checks run at chunk boundaries)
@@ -448,10 +460,10 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
             assert conv_ckpt_path != ckpt_path
             ckpt = ckpt_mod.load_rad_checkpoint(ckpt_path)
             if ckpt is not None:
-                state0 = ckpt_mod.restore_rad_state(phys, arrays, ckpt,
-                                                    sset)
+                state0 = ckpt_mod.restore_rad_state(phys_run, arrays_run,
+                                                    ckpt, sset_run)
             callbacks.append(ckpt_mod.CheckpointCallback(
-                ckpt_path, cfg.checkpoint_every, phys))
+                ckpt_path, cfg.checkpoint_every, phys_run))
 
         chunk = cfg.chunk_iters
         if cfg.checkpoint_every > 0:
@@ -464,18 +476,18 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         # land on refresh boundaries and resume is bitwise-exact
         chunk = max(chunk // 10 * 10, 10)
         rad = monitor_mod.run_radiation_chunked(
-            phys, arrays, thermo, T0, chunk_iters=chunk, sset=sset,
-            callbacks=callbacks, state0=state0,
+            phys_run, arrays_run, thermo, T0, chunk_iters=chunk,
+            sset=sset_run, callbacks=callbacks, state0=state0,
             profile_dir=cfg.profile_dir or None, mesh=mesh)
     elif mesh is not None:
         from helios_tpu import monitor as monitor_mod
         rad = monitor_mod.run_radiation_chunked(
-            phys, arrays, thermo, T0, chunk_iters=None, sset=sset,
-            mesh=mesh)
+            phys_run, arrays_run, thermo, T0, chunk_iters=None,
+            sset=sset_run, mesh=mesh)
     else:
         rad = jax.jit(
-            lambda t: radiation_loop(phys, arrays, thermo, t,
-                                     sset=sset))(T0)
+            lambda t: radiation_loop(phys_run, arrays_run, thermo, t,
+                                     sset=sset_run))(T0)
 
     conv = None
     if phys.convection and not phys.singlewalk and not phys.iso:
@@ -490,22 +502,22 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
                         and ckpt_mod.checkpoint_phase(cckpt)
                         == "convection"):
                     conv_state0 = ckpt_mod.restore_conv_state(
-                        phys, arrays, cckpt, sset)
+                        phys_run, arrays_run, cckpt, sset_run)
                 conv_callbacks.append(ckpt_mod.ConvCheckpointCallback(
-                    conv_ckpt_path, cfg.checkpoint_every, phys))
+                    conv_ckpt_path, cfg.checkpoint_every, phys_run))
             conv = monitor_mod.run_convection_chunked(
-                phys, arrays, thermo, rad, chunk_iters=chunk,
-                sset=sset, callbacks=conv_callbacks, state0=conv_state0,
-                mesh=mesh)
+                phys_run, arrays_run, thermo, rad, chunk_iters=chunk,
+                sset=sset_run, callbacks=conv_callbacks,
+                state0=conv_state0, mesh=mesh)
         elif mesh is not None:
             from helios_tpu import monitor as monitor_mod
             conv = monitor_mod.run_convection_chunked(
-                phys, arrays, thermo, rad, chunk_iters=None, sset=sset,
-                mesh=mesh)
+                phys_run, arrays_run, thermo, rad, chunk_iters=None,
+                sset=sset_run, mesh=mesh)
         else:
             conv = jax.jit(
-                lambda r: convection_loop(phys, arrays, thermo, r,
-                                          sset=sset))(rad)
+                lambda r: convection_loop(phys_run, arrays_run, thermo, r,
+                                          sset=sset_run))(rad)
         final_T = conv.T_lay
         flux_state = conv.flux
         F_smooth_sum = conv.F_smooth_sum
@@ -517,6 +529,12 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
         F_smooth_sum = rad.F_smooth_sum
         conv_layer = None
         final_limit = rad.local_limit
+
+    # drop padded bins before post-processing (outputs carry only the
+    # real spectral grid; padded bins had delta_lambda = 0 anyway)
+    if phys_run.nbin != phys.nbin:
+        from helios_tpu.parallel import sharding as shd
+        flux_state = shd.strip_flux(flux_state, phys.nbin, phys.ny)
 
     if thermo is not None:
         kappa_lay, c_p_lay = kappa_cp_lay(thermo, final_T, arrays.p_lay)

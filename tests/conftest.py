@@ -24,3 +24,10 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
+    config.addinivalue_line(
+        "markers", "tpu: exercises compiled Pallas kernels on a real "
+        "TPU chip (skipped on CPU)")

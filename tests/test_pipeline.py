@@ -144,3 +144,88 @@ def test_pipeline_sharded_checkpoint_resume(tmp_path, table):
                         table=table)
     np.testing.assert_allclose(out2.result.T_lay, out.result.T_lay,
                                rtol=1e-12)
+
+
+def test_eclipse_depth_uses_original_star_bb(tmp_path, table):
+    """The stellar energy-correction factor must be divided back out of
+    the eclipse-depth normalisation (host_functions.py:654-670: "original
+    means here: without the energy correction factor").
+
+    On the truncated 16-bin synthetic grid the numeric stellar integral
+    differs from sigma*T_star^4, so the correction factor is far from 1
+    and any plumbing drop corrupts the flux ratio measurably."""
+    from helios_tpu import planck as planck_mod
+
+    # truncated grid (0.5-6 um) misses most of the 4000 K stellar output
+    table = synthetic_premixed_table(nbin=16, ny=4, ntemp=12, npress=10,
+                                     lambda_min=0.5e-4, lambda_max=6e-4,
+                                     seed=3)
+    cfg = small_cfg(tmp_path, name="ecl").finalize()
+    assert cfg.energy_correction == 1  # iterative runs correct by default
+    out = pipeline.run(cfg, table=table)
+    r = out.result
+
+    corr = float(np.asarray(out.arrays.star_corr_factor))
+    assert abs(corr - 1.0) > 0.05, "fixture grid must give corr != 1"
+    assert r.star_corr_factor == pytest.approx(corr)
+
+    # independently rebuild the UNcorrected stellar BB row
+    phys = out.phys
+    grid_raw = np.asarray(planck_mod.build_planck_table(
+        jnp.asarray(table.wave_edges), jnp.asarray(table.delta_wave),
+        phys.T_star, dim=phys.plancktable_dim,
+        step=phys.plancktable_step))
+    original_star_BB = np.pi * grid_raw[phys.plancktable_dim]
+
+    want = ((phys.R_planet / phys.R_star) ** 2
+            * r.F_up_band[phys.nlayer] / original_star_BB)
+
+    # the written eclipse file carries the corrected ratio
+    path = os.path.join(str(tmp_path), "ecl", "ecl_TOA_flux_eclipse.dat")
+    with open(path) as f:
+        rows = f.read().splitlines()[3:]
+    got = np.array([float(row.split()[6]) for row in rows])
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+@pytest.mark.skipif(len(__import__("jax").devices()) < 4,
+                    reason="needs 4 (virtual) devices")
+def test_pipeline_sharded_nondivisible_bins(tmp_path):
+    """Spectral padding lets ANY bin count run on ANY shard count:
+    nbin=21 (indivisible by 4) is padded to 24 with zero delta_lambda
+    and reproduces the single-device run and its output files."""
+    table = synthetic_premixed_table(nbin=21, ny=4, ntemp=12, npress=10,
+                                     seed=5)
+    out1 = pipeline.run(small_cfg(tmp_path, name="pad1"), table=table)
+    out4 = pipeline.run(small_cfg(tmp_path, name="pad4",
+                                  n_spectral_shards=4), table=table)
+
+    assert bool(jnp.all(out4.rad.abort)), "padded sharded run stalled"
+    np.testing.assert_allclose(out4.result.T_lay, out1.result.T_lay,
+                               rtol=1e-6)
+    # spectra carry exactly the real 21 bins, no padding leakage
+    assert out4.result.F_up_band.shape[1] == 21
+    np.testing.assert_allclose(
+        out4.result.F_up_band[out1.phys.nlayer],
+        out1.result.F_up_band[out1.phys.nlayer], rtol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(__import__("jax").devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_pipeline_sharded_real_385bin_workload(tmp_path):
+    """The flagship reference grid -- 385 bins = 5*7*11, indivisible by
+    8 chips -- runs sharded over 8 devices via spectral padding and
+    matches the single-device result (VERDICT r2 item 1)."""
+    table = synthetic_premixed_table(nbin=385, ny=1, ntemp=8, npress=8,
+                                     seed=7)
+    kw = dict(nlayer=6, rad_convergence_limit=1e-4)
+    out1 = pipeline.run(small_cfg(tmp_path, name="w1", **kw), table=table)
+    out8 = pipeline.run(small_cfg(tmp_path, name="w8",
+                                  n_spectral_shards=8, **kw), table=table)
+    assert bool(jnp.all(out8.rad.abort))
+    np.testing.assert_allclose(out8.result.T_lay, out1.result.T_lay,
+                               rtol=1e-6)
+    assert out8.result.F_up_band.shape[1] == 385
+    np.testing.assert_allclose(out8.result.F_up_band[6],
+                               out1.result.F_up_band[6], rtol=1e-5)
