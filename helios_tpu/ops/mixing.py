@@ -34,19 +34,85 @@ def _rebin_indices(yg, gauss_y):
     max(first crossing, w(y-1)+1) -- consecutive Gauss points never share
     an interval even when they fall inside the same one.
 
+    The recurrence w_y = clip(max(first_y, w_{y-1}+1), 1, n2-1) has the
+    closed form w_y = clip(max(y+1, y + max_{j<=y}(first_j - j)), 1, n2-1):
+    substituting the unclipped unrolling max_j(first_j + (y-j)) plus the
+    y=0 lower clip propagated as w_y >= y+1; the upper clip commutes with
+    the +1 steps because once at the cap the recurrence stays at the cap.
+    This removes the scan: one vectorized compare-sum and a cummax over
+    the tiny Gauss axis.
+
     yg: [..., n2]; gauss_y: [ny].  Returns w: [..., ny] int32 in [1, n2-1].
     """
     n2 = yg.shape[-1]
+    # first_y = #{yg <= g_y}, all Gauss points at once
+    first = jnp.sum(yg[..., None] <= gauss_y, axis=-2).astype(jnp.int32)
+    yi = jnp.arange(gauss_y.shape[0], dtype=jnp.int32)
+    m = jax.lax.cummax(first - yi, axis=first.ndim - 1)
+    w = jnp.maximum(yi + m, yi + 1)
+    return jnp.clip(w, 1, n2 - 1)
 
-    def step(w_prev, g):
-        first = jnp.sum(yg <= g, axis=-1).astype(jnp.int32)  # first yg > g
-        w = jnp.maximum(first, w_prev + 1)
-        w = jnp.clip(w, 1, n2 - 1)
-        return w, w
 
-    w0 = jnp.zeros(yg.shape[:-1], jnp.int32)
-    _, ws = jax.lax.scan(step, w0, gauss_y)
-    return jnp.moveaxis(ws, 0, -1)                 # [..., ny]
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the last axis via log2(n) shifted adds
+    (Hillis-Steele).  XLA's native cumsum lowers to an O(n)-pass
+    sequential reduce on the TPU lane axis -- 65 ms on the production RO
+    shape [105*385, 400] fp64 -- while this form is ~9 vector passes."""
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1)
+    s = 1
+    while s < n:
+        x = x + jnp.pad(x[..., :-s], pad + [(s, 0)])
+        s *= 2
+    return x
+
+
+def _split_f32(x):
+    """Exact two-float32 split: x == hi + lo (Dekker-style, for values in
+    f32 range).  Identity (x, 0) when x is already single precision."""
+    if x.dtype != jnp.float64:
+        return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def _select_at(w, arrays):
+    """Gather-free selection: for each array a, return (a[w-1], a[w])
+    along the last axis, batched over leading dims.
+
+    take_along_axis along the TPU lane axis lowers to per-element
+    dynamic slices (71 ms on the production RO shape); instead build ONE
+    f32 one-hot of w and contract on the MXU.  Selection through an f32
+    one-hot is EXACT even for f64 data: split each array into
+    (hi, lo) float32 parts (x == hi + lo), contract each part -- every
+    one-hot row has a single 1.0 so each product and sum is exact -- and
+    recombine in f64.
+    """
+    n2 = arrays[0].shape[-1]
+    dtype = arrays[0].dtype
+    p = jnp.arange(n2, dtype=jnp.int32)
+    onehot = (w[..., :, None] == p).astype(jnp.float32)   # [..., ny, n2]
+
+    cols = []
+    for a in arrays:
+        hi, lo = _split_f32(a)
+        # a[w-1] == shift-right(a)[w]  (w >= 1 always)
+        sh_hi = jnp.concatenate([hi[..., :1], hi[..., :-1]], axis=-1)
+        sh_lo = jnp.concatenate([lo[..., :1], lo[..., :-1]], axis=-1)
+        cols += [hi, lo, sh_hi, sh_lo]
+    stacked = jnp.stack(cols, axis=-1)                    # [..., n2, 4A]
+    # HIGHEST precision is load-bearing: the TPU default contracts f32
+    # matmuls through bfloat16 passes, which would round the "exactly
+    # selected" values at ~1e-3 relative
+    sel = jnp.einsum("...yp,...pk->...yk", onehot, stacked,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = []
+    for i in range(len(arrays)):
+        at_w = sel[..., 4 * i].astype(dtype) + sel[..., 4 * i + 1]
+        at_wm1 = sel[..., 4 * i + 2].astype(dtype) + sel[..., 4 * i + 3]
+        out.append((at_wm1, at_w))
+    return out
 
 
 def random_overlap_mix(mixed_opac, new_opac, gauss_weight, gauss_y):
@@ -57,6 +123,12 @@ def random_overlap_mix(mixed_opac, new_opac, gauss_weight, gauss_y):
       gauss_weight, gauss_y: [ny] quadrature weights and shifted nodes.
 
     Returns the re-binned mixed k-coefficients [..., ny].
+
+    TPU hot-path design (vs the reference's per-thread insertion sort of
+    400 pairwise sums): one batched variadic `lax.sort` (the sort itself
+    is cheap on TPU -- the naive formulation's cost was the O(n)-pass
+    cumsum and the lane gathers, both replaced by exact vector forms
+    here: `_cumsum_lanes`, `_rebin_indices`, `_select_at`).
     """
     ny = gauss_y.shape[0]
     sums = mixed_opac[..., :, None] + new_opac[..., None, :]
@@ -68,21 +140,19 @@ def random_overlap_mix(mixed_opac, new_opac, gauss_weight, gauss_y):
                                       num_keys=1)
 
     # cumulative y positions: yg[w] = sum_{v<w} wt[v] + 0.5*wt[w]
-    csum = jnp.cumsum(sorted_w, axis=-1)
+    csum = _cumsum_lanes(sorted_w)
     yg = csum - 0.5 * sorted_w
 
     w = _rebin_indices(yg, gauss_y)                # [..., ny]
-    yg_lo = jnp.take_along_axis(yg, w - 1, axis=-1)
-    yg_hi = jnp.take_along_axis(yg, w, axis=-1)
-    k_lo = jnp.take_along_axis(sorted_k, w - 1, axis=-1)
-    k_hi = jnp.take_along_axis(sorted_k, w, axis=-1)
+    (yg_lo, yg_hi), (k_lo, k_hi) = _select_at(w, [yg, sorted_k])
     g = gauss_y.reshape((1,) * (yg.ndim - 1) + (ny,))
     return (k_lo * (yg_hi - g) + k_hi * (g - yg_lo)) / (yg_hi - yg_lo)
 
 
 def add_species_opacity(mixed_opac, opac_spec, vmr, mass_spec,
                         meanmolmass, gauss_weight, gauss_y, *,
-                        species_index: int, ro_method: int):
+                        species_index: int, ro_method: int,
+                        use_pallas: bool = False):
     """Mix one species into the running opacity (add_to_mixed_opac,
     kernels.cu:3263-3399).
 
@@ -107,7 +177,13 @@ def add_species_opacity(mixed_opac, opac_spec, vmr, mass_spec,
     negligible = ((0.01 * mixed_opac[..., 0] > new_opac[..., ny - 1])
                   | (0.01 * new_opac[..., 0] > mixed_opac[..., ny - 1]))
     ck = correlated_k_add(mixed_opac, new_opac)
-    ro = random_overlap_mix(mixed_opac, new_opac, gauss_weight, gauss_y)
+    if use_pallas:
+        from helios_tpu.kernels.ro_pallas import random_overlap_mix_pallas
+        ro = random_overlap_mix_pallas(mixed_opac, new_opac,
+                                       gauss_weight, gauss_y)
+    else:
+        ro = random_overlap_mix(mixed_opac, new_opac, gauss_weight,
+                                gauss_y)
     return jnp.where(negligible[..., None], ck, ro)
 
 

@@ -57,3 +57,40 @@ def test_pallas_padding_path(rng):
         jnp.asarray(surf_albedo), jnp.asarray(F_up0), **kw)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-12)
+
+
+@pytest.mark.parametrize("ny", [4, 20])
+def test_pallas_random_overlap_matches_xla(rng, ny):
+    """ro_pallas (in-VMEM bitonic sort + df64 rebin) reproduces the
+    exact XLA random_overlap_mix; interpreter mode on CPU."""
+    from helios_tpu.kernels.ro_pallas import random_overlap_mix_pallas
+    from helios_tpu.ops import mixing as mix_ops
+
+    L, B = 3, 5
+    a = np.sort(np.exp(rng.normal(0, 4, (L, B, ny))), axis=-1)
+    b = np.sort(np.exp(rng.normal(0, 4, (L, B, ny))), axis=-1)
+    gy_, gw_ = np.polynomial.legendre.leggauss(ny)
+    gy = jnp.asarray((gy_ + 1) / 2)
+    gw = jnp.asarray(gw_)
+
+    want = np.asarray(mix_ops.random_overlap_mix(
+        jnp.asarray(a), jnp.asarray(b), gw, gy))
+    got = np.asarray(random_overlap_mix_pallas(
+        jnp.asarray(a), jnp.asarray(b), gw, gy, tile_c=128))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_pallas_thomas_matches_scan(rng):
+    """thomas_pallas (df64 in-VMEM elimination) reproduces the fp64
+    lax.scan Thomas solver on a diagonally-dominant system."""
+    from helios_tpu.ops.thomas import thomas_solve
+
+    n, S = 22, 40
+    c = jnp.asarray(rng.uniform(-0.4, 0.4, (n, S)))
+    c = c.at[-1].set(0.0)
+    b = jnp.asarray(rng.uniform(1.0, 2.0, (n, S)))
+    d = jnp.asarray(rng.uniform(-1e3, 1e3, (n, S)))
+
+    want = np.asarray(thomas_solve(b, c, d))
+    got = np.asarray(thomas_solve(b, c, d, use_pallas=True))
+    np.testing.assert_allclose(got, want, rtol=1e-10)

@@ -1,0 +1,99 @@
+"""Compiled-Mosaic regression tests: the fused Pallas kernels vs their
+XLA oracles ON REAL TPU HARDWARE (VERDICT r2 item 8; round-1 task 9).
+
+These are skipped on CPU -- the interpret-mode tests in test_pallas.py /
+test_df64.py cover tracing semantics, but only these exercise the
+compiled Mosaic path.  Run on a TPU-visible session with:
+    PYTHONPATH=. pytest tests/test_pallas_tpu.py -m tpu --no-header -q
+(conftest.py pins the test suite to CPU, so the TPU run must bypass it:
+ JAX_PLATFORMS= python -m pytest ... after removing the pin, or simply
+ `python tests/test_pallas_tpu.py` which self-configures.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled Mosaic kernels need a real TPU chip")
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_compiled_iso_sweep_fp32_and_df64():
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_sweep import make_cells
+
+    from helios_tpu.kernels.sweep_pallas import fband_iso_pallas
+    from helios_tpu.ops import sweep as sweep_ops
+
+    rng = np.random.default_rng(7)
+    L, B, Y = 21, 12, 4
+    cells, arr, par = make_cells(rng, L, B, Y, scat_corr=1)
+    nint = L + 1
+    planckband_lay = rng.uniform(1e2, 1e4, (L + 2, B))
+    F_dir = -rng.uniform(0.0, 1e3, (nint, B, Y))
+    surf_albedo = rng.uniform(0.0, 0.5, B)
+    F_up0 = rng.uniform(0, 1e3, (nint, B, Y))
+    kw = dict(n_passes=4, scat_corr=1, i2s_transition=par["i2s"],
+              epsi=par["epsi"], mu_star=par["mu_star"], dir_beam=0,
+              f_factor=0.5, R_star=7e10, a=1.5e12)
+
+    want = sweep_ops.fband_iso(
+        cells, jnp.asarray(planckband_lay), jnp.asarray(F_dir),
+        jnp.asarray(surf_albedo), jnp.asarray(F_up0), **kw)
+    got = fband_iso_pallas(
+        cells, jnp.asarray(planckband_lay), jnp.asarray(F_dir),
+        jnp.asarray(surf_albedo), jnp.asarray(F_up0), **kw)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-11)
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_compiled_random_overlap():
+    from helios_tpu.kernels.ro_pallas import random_overlap_mix_pallas
+    from helios_tpu.ops import mixing as mix_ops
+
+    rng = np.random.default_rng(3)
+    ny, L, B = 20, 8, 16
+    a = np.sort(np.exp(rng.normal(0, 4, (L, B, ny))), axis=-1)
+    b = np.sort(np.exp(rng.normal(0, 4, (L, B, ny))), axis=-1)
+    gy_, gw_ = np.polynomial.legendre.leggauss(ny)
+    gy = jnp.asarray((gy_ + 1) / 2)
+    gw = jnp.asarray(gw_)
+    want = np.asarray(mix_ops.random_overlap_mix(
+        jnp.asarray(a), jnp.asarray(b), gw, gy))
+    got = np.asarray(random_overlap_mix_pallas(
+        jnp.asarray(a), jnp.asarray(b), gw, gy))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+if __name__ == "__main__":
+    # standalone TPU runner (bypasses conftest's CPU pin)
+    jax.config.update("jax_enable_x64", True)
+    test_compiled_iso_sweep_fp32_and_df64()
+    test_compiled_random_overlap()
+    test_compiled_thomas_solve()
+    print("compiled-Mosaic parity OK on", jax.devices())
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_compiled_thomas_solve():
+    from helios_tpu.ops.thomas import thomas_solve
+
+    rng = np.random.default_rng(5)
+    n, S = 212, 500
+    c = jnp.asarray(rng.uniform(-0.4, 0.4, (n, S)))
+    c = c.at[-1].set(0.0)
+    b = jnp.asarray(rng.uniform(1.0, 2.0, (n, S)))
+    d = jnp.asarray(rng.uniform(-1e3, 1e3, (n, S)))
+    want = np.asarray(thomas_solve(b, c, d))
+    got = np.asarray(thomas_solve(b, c, d, use_pallas=True))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
