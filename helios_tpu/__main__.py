@@ -15,7 +15,24 @@ def main(argv=None):
     from helios_tpu.config import config_from_cli
     from helios_tpu import pipeline
 
-    cfg = config_from_cli(argv)
+    cfg_raw = config_from_cli(argv, finalize=False)
+    if cfg_raw.planet_ensemble_file:
+        # planet-ensemble mode: one batched device program for N planets
+        # (the TPU data-parallel axis the single-GPU reference lacks,
+        # SURVEY.md section 2.4)
+        from helios_tpu.parallel import ensemble as ens
+
+        rows = ens.parse_ensemble_file(cfg_raw.planet_ensemble_file)
+        cfgs = ens.configs_from_ensemble(cfg_raw, rows)
+        outs = ens.run_ensemble(cfgs)
+        print(f"\nDone! Ensemble of {len(outs)} planets finished in "
+              f"{outs[0].wall_seconds:.1f} s.")
+        for o in outs:
+            state = o.conv if o.conv is not None else o.rad
+            print(f"  {o.result.name}: {int(state.it)} iterations -> "
+                  f"{o.result.out}")
+        return 0
+    cfg = cfg_raw.finalize()
 
     out = pipeline.run(cfg)
     r = out.result

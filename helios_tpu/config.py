@@ -159,6 +159,7 @@ class HeliosConfig:
     dtype: str = ""                 # resolved from precision
     n_spectral_shards: int = 1      # ICI shards of the lambda x y grid
     n_planet_batch: int = 1         # planet-ensemble data-parallel batch
+    planet_ensemble_file: str = ""  # per-planet override table (ensemble)
     use_pallas: Union[str, int] = "auto"  # auto, yes, no
     chunk_iters: int = 100          # device-resident iterations per host sync
     checkpoint_every: int = 0       # iterations per checkpoint (0 = off)
@@ -581,6 +582,7 @@ _CLI_FLAGS = [
     ("-start_from_provided_tp_profile", "force_start_tp_from_file", str),
     ("-n_spectral_shards", "n_spectral_shards", int),
     ("-n_planet_batch", "n_planet_batch", int),
+    ("-planet_ensemble_file", "planet_ensemble_file", str),
     ("-use_pallas", "use_pallas", str),
     ("-checkpoint_every", "checkpoint_every", int),
     ("-checkpoint_path", "checkpoint_path", str),
@@ -602,7 +604,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def config_from_cli(argv=None) -> HeliosConfig:
+def config_from_cli(argv=None, finalize: bool = True) -> HeliosConfig:
     ap = build_arg_parser()
     args = ap.parse_args(argv)
     import os
@@ -614,4 +616,4 @@ def config_from_cli(argv=None) -> HeliosConfig:
         v = getattr(args, fieldname, None)
         if v is not None:
             setattr(cfg, fieldname, v)
-    return cfg.finalize()
+    return cfg.finalize() if finalize else cfg

@@ -129,57 +129,227 @@ def run_ensemble_loops(phys: Phys, models: Sequence[ModelArrays],
     return rad, conv
 
 
+# --------------------------------------------------------------------------- #
+# chunked batched loops (monitoring + checkpointing for the ensemble)
+# --------------------------------------------------------------------------- #
+
+def _batched_runners(phys: Phys, thermo, sset, mesh, chunk):
+    """Jitted batched (init, rad_step, conv_enter, conv_step), each
+    operating on a stacked ModelArrays + batched loop state.  ``chunk``
+    caps iterations per call (None = run to convergence)."""
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import init_rad_state, radiation_loop
+
+    if mesh is None:
+        init = jax.jit(jax.vmap(
+            lambda m, t: init_rad_state(phys, m, t, sset)))
+        rad_step = jax.jit(jax.vmap(lambda m, s: radiation_loop(
+            phys, m, thermo, s.T_lay, max_steps=chunk, sset=sset,
+            state0=s)))
+        conv_enter = jax.jit(jax.vmap(lambda m, r: convection_loop(
+            phys, m, thermo, r, max_steps=0, sset=sset)))
+        conv_step = jax.jit(jax.vmap(lambda m, s: convection_loop(
+            phys, m, thermo, None, max_steps=chunk, sset=sset,
+            state0=s)))
+        return init, rad_step, conv_enter, conv_step
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from helios_tpu.parallel import sharding as shd
+
+    phys_l = shd._phys_local(phys, mesh)
+    m_specs = ModelArrays(**{
+        k: P("planet", *v) for k, v in shd._MODEL_SPECS.items()})
+    t_spec = P("planet", None)
+    rad_specs = shd._rad_state_specs(phys, planet=True)
+    conv_specs = shd._conv_state_specs(phys, planet=True)
+
+    def _shm(body, in_specs, out_specs):
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+    init = _shm(
+        lambda m, t: jax.vmap(lambda mi, ti: init_rad_state(
+            phys_l, mi, ti, sset, axis_name=shd.AXIS))(m, t),
+        (m_specs, t_spec), rad_specs)
+    rad_step = _shm(
+        lambda m, s: jax.vmap(lambda mi, si: radiation_loop(
+            phys_l, mi, thermo, si.T_lay, max_steps=chunk, sset=sset,
+            state0=si, axis_name=shd.AXIS))(m, s),
+        (m_specs, rad_specs), rad_specs)
+    conv_enter = _shm(
+        lambda m, r: jax.vmap(lambda mi, ri: convection_loop(
+            phys_l, mi, thermo, ri, max_steps=0, sset=sset,
+            axis_name=shd.AXIS))(m, r),
+        (m_specs, rad_specs), conv_specs)
+    conv_step = _shm(
+        lambda m, s: jax.vmap(lambda mi, si: convection_loop(
+            phys_l, mi, thermo, None, max_steps=chunk, sset=sset,
+            state0=si, axis_name=shd.AXIS))(m, s),
+        (m_specs, conv_specs), conv_specs)
+    return init, rad_step, conv_enter, conv_step
+
+
+def _restore_batched_rad(phys, init, m_stacked, ckpt):
+    """Batched analogue of checkpoint.restore_rad_state."""
+    from helios_tpu import checkpoint as ckpt_mod
+    from helios_tpu.forward import FluxState, integrate_flux_flat
+
+    ckpt_mod._check_fingerprint(phys, ckpt)
+    T = jnp.asarray(ckpt["T_lay"])                 # [N, L+1]
+    fresh = init(m_stacked, T)
+    flux = FluxState(**{f: jnp.asarray(ckpt["flux__" + f])
+                        for f in FluxState._fields})
+    totals = jax.vmap(lambda m, fl, fd: integrate_flux_flat(
+        phys, m, fl, fd))(m_stacked, flux, fresh.cache.F_dir)
+    return fresh._replace(
+        flux=flux, totals=totals,
+        **{f: jnp.asarray(ckpt[f]) for f in ckpt_mod._STATE_FIELDS})
+
+
+def _ensemble_progress(phase, state, names, wall_s, stream=None):
+    import sys
+    stream = stream or sys.stdout
+    its = np.asarray(state.it).astype(int)
+    running = np.asarray(state.keep_running).astype(bool)
+    n_done = int((~running).sum())
+    stream.write(f"[ensemble/{phase}] iters={its.min()}..{its.max()}  "
+                 f"converged {n_done}/{len(names)} planets  "
+                 f"({wall_s:.1f} s/chunk)\n")
+    stream.flush()
+
+
 def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
-                 write_output: bool = True):
+                 write_output: bool = True, sset=None):
     """pipeline.run for N planets in ONE batched device program.
 
     Each config gets its own output directory / writers; the RCE loops
     run vmapped (and mesh-sharded when cfg.n_planet_batch > 1 and enough
-    devices are visible).  Returns a list of RunOutput.
+    devices are visible).  Per-planet variation goes through ModelArrays
+    (star, albedo, clouds, heating, opacity table) and the initial TP
+    profile; compile-time physics (Phys) must match across members.
+
+    Config 0 drives the shared machinery: thermodynamics source
+    (constant kappa or the file/water_atmo table modes), on-the-fly
+    species set, chunking/progress/checkpoint knobs.  Returns a list of
+    RunOutput.
     """
     import time
 
     from helios_tpu import pipeline as pl
-    from helios_tpu.forward import build_model
     from helios_tpu.io.opacity import load_opacity_file
     from helios_tpu.ops import interp as interp_ops
     from helios_tpu.rce import convect
-    from helios_tpu.rce.radiative import (kappa_cp_lay, kappa_int,
-                                          make_const_thermo)
+    from helios_tpu.rce.radiative import kappa_cp_lay, kappa_int
 
     t0 = time.time()
     cfgs = [c if c._finalized else c.finalize() for c in cfgs]
+    cfg0 = cfgs[0]
+
+    if (sset is None and cfg0.opacity_mixing == "on-the-fly"
+            and tables is None):
+        sset, donor = pl.build_species_set_from_files(cfg0)
+        tables = [donor] * len(cfgs)
     if tables is None:
-        tables = [load_opacity_file(c.opacity_path) for c in cfgs]
+        cache = {}
+        tables = []
+        for c in cfgs:
+            if c.opacity_path not in cache:
+                cache[c.opacity_path] = load_opacity_file(c.opacity_path)
+            tables.append(cache[c.opacity_path])
 
     physes, models, T0s = [], [], []
     for cfg, table in zip(cfgs, tables):
-        starflux = pl.load_starflux(cfg, table.nbin)
-        from helios_tpu import host_physics as hp
-        surf_albedo = hp.load_surf_albedo(cfg, table.wave_centers)
-        phys, arrays = build_model(cfg, table, starflux=starflux,
-                                   surf_albedo=surf_albedo)
+        phys, arrays, _clouds = pl.prepare_model(cfg, table)
         physes.append(phys)
         models.append(arrays)
         T0s.append(pl.initial_temperatures(cfg, phys, arrays))
     phys = _check_same_phys(physes)
 
-    thermo = (make_const_thermo(float(cfgs[0].kappa_value))
-              if phys.convection else None)
+    thermo = pl.make_thermo(cfg0)
 
     mesh = None
-    n_pl = int(cfgs[0].n_planet_batch)
+    n_pl = int(cfg0.n_planet_batch)
     if n_pl > 1:
         from helios_tpu.parallel import sharding as shd
-        n_spec = max(int(cfgs[0].n_spectral_shards), 1)
+        n_spec = max(int(cfg0.n_spectral_shards), 1)
         need = n_pl * n_spec
         devs = jax.devices()
         if len(devs) >= need:
             mesh = shd.make_mesh(n_planet=n_pl, n_spectral=n_spec,
                                  devices=devs[:need])
 
-    rads, convs = run_ensemble_loops(phys, models, thermo,
-                                     np.stack(T0s), mesh=mesh)
+    want_conv = (phys.convection and not phys.singlewalk and not phys.iso)
+    progress = bool(cfg0.progress)
+    ckpt_path = None
+    if cfg0.checkpoint_every > 0:
+        import os
+        # one checkpoint for the whole batch, under the first member's
+        # output directory (unless -checkpoint_path overrides)
+        ckpt_path = cfg0.checkpoint_path or os.path.join(
+            cfg0.output_dir, cfg0.name, "ensemble.ckpt.npz")
+    monitored = progress or ckpt_path is not None
+    chunk = None
+    if monitored and not phys.singlewalk:
+        chunk = cfg0.chunk_iters
+        if cfg0.checkpoint_every > 0:
+            chunk = min(chunk, cfg0.checkpoint_every)
+        chunk = max(chunk // 10 * 10, 10)   # cache-refresh cadence
+
+    m_stacked = stack_models(models)
+    T0b = jnp.asarray(np.stack(T0s))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from helios_tpu.parallel import sharding as shd
+        m_specs = ModelArrays(**{
+            k: P("planet", *v) for k, v in shd._MODEL_SPECS.items()})
+        m_stacked = jax.device_put(m_stacked, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), m_specs))
+        if sset is not None:
+            sset = shd.place_species(sset, mesh)
+
+    init, rad_step, conv_enter, conv_step = _batched_runners(
+        phys, thermo, sset, mesh, chunk)
+
+    from helios_tpu import checkpoint as ckpt_mod
+    names = [c.name for c in cfgs]
+    rads = None
+    if ckpt_path is not None and chunk is not None:
+        ck = ckpt_mod.load_rad_checkpoint(ckpt_path)
+        if ck is not None and ckpt_mod.checkpoint_phase(ck) == "radiation":
+            rads = _restore_batched_rad(phys, init, m_stacked, ck)
+    if rads is None:
+        rads = init(m_stacked, T0b)
+
+    if chunk is None:
+        # unmonitored: rad_step/conv_step were built uncapped
+        rads = rad_step(m_stacked, rads)
+        convs = None
+        if want_conv:
+            convs = conv_enter(m_stacked, rads)
+            convs = conv_step(m_stacked, convs)
+    else:
+        while bool(np.asarray(rads.keep_running).any()):
+            tc = time.time()
+            rads = rad_step(m_stacked, rads)
+            jax.block_until_ready(rads.T_lay)
+            if progress:
+                _ensemble_progress("radiation", rads, names,
+                                   time.time() - tc)
+            if ckpt_path is not None:
+                ckpt_mod.save_rad_checkpoint(ckpt_path, rads, phys)
+        convs = None
+        if want_conv:
+            convs = conv_enter(m_stacked, rads)
+            while bool(np.asarray(convs.keep_running).any()):
+                tc = time.time()
+                convs = conv_step(m_stacked, convs)
+                jax.block_until_ready(convs.T_lay)
+                if progress:
+                    _ensemble_progress("convection", convs, names,
+                                       time.time() - tc)
 
     outs = []
     for i, (cfg, arrays) in enumerate(zip(cfgs, models)):
@@ -205,12 +375,25 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
         else:
             kappa_lay = c_p_lay = conv_unstable = None
 
-        post = pl.post_process(phys, arrays, final_T, flux, F_smooth_sum)
+        # entropy / water-phase diagnostics (computation.py:252-292)
+        entropy_lay = phase_number_lay = None
+        if thermo is not None and thermo.from_table:
+            entropy_lay = interp_ops.interpolate_entropy(
+                thermo.entropy_table, thermo.temps, thermo.press,
+                final_T[:phys.nlayer], arrays.p_lay)
+            if thermo.has_phase:
+                phase_number_lay = interp_ops.interpolate_phase_number(
+                    thermo.phase_table, thermo.temps, thermo.press,
+                    final_T[:phys.nlayer], arrays.p_lay)
+
+        post = pl.post_process(phys, arrays, final_T, flux, F_smooth_sum,
+                               sset=sset)
         result = pl.collect_result(
             cfg, phys, arrays, final_T, flux, post,
             conv_unstable=conv_unstable, conv_layer=conv_layer,
             F_smooth_sum=F_smooth_sum, kappa_lay=kappa_lay,
-            c_p_lay=c_p_lay, final_limit=final_limit)
+            c_p_lay=c_p_lay, entropy_lay=entropy_lay,
+            phase_number_lay=phase_number_lay, final_limit=final_limit)
         if write_output:
             from helios_tpu.io import writers
             writers.write_all(result)
@@ -218,3 +401,77 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
                                  conv=conv_i, result=result,
                                  wall_seconds=time.time() - t0))
     return outs
+
+
+# --------------------------------------------------------------------------- #
+# planet-ensemble file: the CLI product surface
+# --------------------------------------------------------------------------- #
+
+def parse_ensemble_file(path: str):
+    """Parse a planet-ensemble override file.
+
+    Format: '#' comments; the first non-comment line names HeliosConfig
+    fields (whitespace-separated, e.g. ``name T_star R_star a g``); each
+    following line is one planet's values.  Values keep their string
+    form -- HeliosConfig.finalize coerces/validates exactly as it does
+    for param.dat entries.  Returns a list of {field: value} dicts.
+    """
+    rows, header = [], None
+    with open(path) as f:
+        for ln in f:
+            ln = ln.split("#", 1)[0].strip()
+            if not ln:
+                continue
+            cols = ln.split()
+            if header is None:
+                header = cols
+                continue
+            if len(cols) != len(header):
+                raise ValueError(
+                    f"{path}: row {ln!r} has {len(cols)} values, header "
+                    f"names {len(header)} fields")
+            rows.append(dict(zip(header, cols)))
+    if header is None:
+        raise ValueError(f"{path}: empty ensemble file")
+    from helios_tpu.config import HeliosConfig
+    bad = [h for h in header
+           if h not in HeliosConfig.__dataclass_fields__]
+    if bad:
+        raise ValueError(f"{path}: unknown config fields {bad}")
+    return rows
+
+
+def _coerce_like(cur, v: str):
+    if isinstance(cur, bool):
+        return v.lower() in ("1", "yes", "true", "on")
+    if isinstance(cur, int) and not isinstance(cur, bool):
+        try:
+            return int(v)
+        except ValueError:
+            return v
+    if isinstance(cur, float):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
+
+
+def configs_from_ensemble(base_cfg, rows):
+    """One un-finalized HeliosConfig per planet: a copy of ``base_cfg``
+    with the row's overrides applied (then finalized)."""
+    import copy
+
+    cfgs = []
+    for i, row in enumerate(rows):
+        c = copy.deepcopy(base_cfg)
+        c._finalized = False
+        for field, v in row.items():
+            setattr(c, field, _coerce_like(getattr(c, field), v))
+        if "name" not in row:
+            c.name = f"{base_cfg.name}_{i}"
+        cfgs.append(c.finalize())
+    names = [c.name for c in cfgs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"ensemble planet names must be unique: {names}")
+    return cfgs

@@ -326,19 +326,30 @@ def build_species_set_from_files(cfg: HeliosConfig):
     return sset, donor
 
 
-def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
-        write_output: bool = True, sset=None) -> RunOutput:
-    """Full pipeline run (the run_helios equivalent, helios.py:35-137)."""
+def make_thermo(cfg: HeliosConfig):
+    """kappa/c_p/entropy source (read.py:1105-1193): a constant, or the
+    "file"/"water_atmo" ASCII table modes for real-gas thermodynamics.
+    The table is loaded whenever a file mode is selected -- even for
+    post-processing runs -- because entropy/phase diagnostics are
+    interpolated from it at the end (computation.py:252-292)."""
+    if (isinstance(cfg.kappa_value, str)
+            and cfg.kappa_value in ("file", "water_atmo")):
+        from helios_tpu import thermo as thermo_mod
+        from helios_tpu.rce.radiative import make_table_thermo
+        tbl = thermo_mod.load_entropy_table(cfg.kappa_file_path,
+                                            cfg.kappa_value)
+        return make_table_thermo(tbl, jnp.dtype(cfg.dtype))
+    if cfg.convection:
+        return make_const_thermo(float(cfg.kappa_value))
+    return None
+
+
+def prepare_model(cfg: HeliosConfig, table: OpacityTable):
+    """Input preprocessing + model assembly (helios.py:56-79): Koll
+    f-factor, stellar spectrum, surface albedo, cloud decks, additional
+    heating.  Returns (phys, arrays, cloud_result).  Shared by
+    pipeline.run and the planet-ensemble driver."""
     from helios_tpu import host_physics as hp
-
-    t0 = time.time()
-    if not cfg._finalized:
-        cfg = cfg.finalize()
-
-    if cfg.opacity_mixing == "on-the-fly" and sset is None and table is None:
-        sset, table = build_species_set_from_files(cfg)
-    if table is None:
-        table = load_opacity_file(cfg.opacity_path)
 
     # Koll (2021) f-factor approximation for rocky planets
     # (helios.py:67-68)
@@ -368,23 +379,26 @@ def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
     if cfg.add_heating:
         arrays = arrays._replace(add_heat_dens=jnp.asarray(
             hp.load_additional_heating(cfg, np.asarray(arrays.p_lay))))
+    return phys, arrays, cloud_result
 
-    # kappa/c_p/entropy source (read.py:1105-1193): a constant, or the
-    # "file"/"water_atmo" ASCII table modes for real-gas thermodynamics.
-    # The table is loaded whenever a file mode is selected -- even for
-    # post-processing runs -- because entropy/phase diagnostics are
-    # interpolated from it at the end (computation.py:252-292).
-    if (isinstance(cfg.kappa_value, str)
-            and cfg.kappa_value in ("file", "water_atmo")):
-        from helios_tpu import thermo as thermo_mod
-        from helios_tpu.rce.radiative import make_table_thermo
-        tbl = thermo_mod.load_entropy_table(cfg.kappa_file_path,
-                                            cfg.kappa_value)
-        thermo = make_table_thermo(tbl, jnp.dtype(cfg.dtype))
-    elif cfg.convection:
-        thermo = make_const_thermo(float(cfg.kappa_value))
-    else:
-        thermo = None
+
+def run(cfg: HeliosConfig, table: Optional[OpacityTable] = None,
+        write_output: bool = True, sset=None) -> RunOutput:
+    """Full pipeline run (the run_helios equivalent, helios.py:35-137)."""
+    from helios_tpu import host_physics as hp
+
+    t0 = time.time()
+    if not cfg._finalized:
+        cfg = cfg.finalize()
+
+    if cfg.opacity_mixing == "on-the-fly" and sset is None and table is None:
+        sset, table = build_species_set_from_files(cfg)
+    if table is None:
+        table = load_opacity_file(cfg.opacity_path)
+
+    phys, arrays, cloud_result = prepare_model(cfg, table)
+
+    thermo = make_thermo(cfg)
 
     T0 = jnp.asarray(initial_temperatures(cfg, phys, arrays))
 

@@ -274,3 +274,102 @@ def test_ensemble_rejects_mismatched_phys(tmp_path):
             HeliosConfig(name="y", T_star=5000.0, **kw)]
     with pytest.raises(ValueError, match="compile-time physics"):
         run_ensemble(cfgs, tables=[table, table], write_output=False)
+
+
+def test_ensemble_cli_end_to_end(tmp_path, capsys):
+    """The planet-ensemble product surface: ONE CLI command + an
+    ensemble override file runs N planets with per-planet outputs,
+    chunked progress lines, and a resumable ensemble checkpoint
+    (VERDICT r2 item 4)."""
+    import os
+
+    from helios_tpu.__main__ import main
+    from helios_tpu.io.opacity import save_opacity_file
+
+    table = synthetic_premixed_table(nbin=16, ny=4, ntemp=10, npress=8,
+                                     seed=2)
+    opac = str(tmp_path / "opac.h5")
+    save_opacity_file(opac, table)
+    ens = tmp_path / "planets.dat"
+    ens.write_text("# per-planet overrides\n"
+                   "name      surf_albedo\n"
+                   "ens_a     0.0\n"
+                   "ens_b     0.9\n")
+
+    argv = ["-planet_ensemble_file", str(ens),
+            "-name", "base", "-output_directory", str(tmp_path) + "/",
+            "-planet", "manual", "-surface_gravity", "2288.0",
+            "-orbital_distance", "0.0153", "-radius_planet", "1.0",
+            "-radius_star", "1.0", "-temperature_star", "4000.0",
+            "-internal_temperature", "200.0", "-scattering", "no",
+            "-direct_irradiation_beam", "no",
+            "-convective_adjustment", "no", "-run_type", "iterative",
+            "-isothermal_layers", "yes", "-number_of_layers", "10",
+            "-boa_pressure", "1e8", "-toa_pressure", "1e3",
+            "-radiative_equilibrium_criterion", "1e-6",
+            "-path_to_opacity_file", opac,
+            "-progress", "yes", "-checkpoint_every", "40"]
+    assert main(argv) == 0
+    out = capsys.readouterr().out
+    assert "[ensemble/radiation]" in out          # chunked progress line
+    assert "Ensemble of 2 planets" in out
+
+    for name in ("ens_a", "ens_b"):
+        d = os.path.join(str(tmp_path), name)
+        assert os.path.exists(os.path.join(d, f"{name}_tp.dat"))
+        assert os.path.exists(
+            os.path.join(d, f"{name}_TOA_flux_eclipse.dat"))
+    # the ensemble checkpoint exists (written under the first member)
+    assert os.path.exists(os.path.join(str(tmp_path), "ens_a",
+                                       "ensemble.ckpt.npz"))
+
+    # resume: a second identical invocation restores from the converged
+    # checkpoint and exits immediately with identical outputs
+    with open(os.path.join(str(tmp_path), "ens_a", "ens_a_tp.dat")) as f:
+        tp_first = f.read()
+    assert main(argv) == 0
+    with open(os.path.join(str(tmp_path), "ens_a", "ens_a_tp.dat")) as f:
+        assert f.read() == tp_first
+
+
+def test_ensemble_table_thermo_and_convection(tmp_path):
+    """run_ensemble supports the file/water_atmo thermodynamics modes
+    (the round-2 float(kappa_value) crash) and the convection loop."""
+    from helios_tpu.parallel.ensemble import run_ensemble
+
+    # small kappa/cp/entropy table in the reference ASCII layout
+    import itertools
+    temps = [100.0 * (i + 1) for i in range(12)]
+    press = [10.0 ** e for e in range(3, 10)]
+    lines = ["# synthetic kappa/cp/entropy table", "# T P kappa cp log10S"]
+    for T, p in itertools.product(temps, press):
+        kappa = 0.28 + 0.0001 * (T / 100.0)
+        cp = 1.3e8
+        lines.append(f"{T} {p} {kappa} {cp} {9.0 + T * 1e-4}")
+    ktab = tmp_path / "thermo.dat"
+    ktab.write_text("\n".join(lines) + "\n")
+
+    table = synthetic_premixed_table(nbin=16, ny=4, ntemp=10, npress=8,
+                                     seed=4)
+    table.kpoints *= 10.0     # optically thick -> convective
+
+    def mk(name, T_intern):
+        return HeliosConfig(
+            name=name, output_dir=str(tmp_path) + "/",
+            planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+            R_star=1.0, T_star=30.0, T_intern=T_intern,
+            scattering="no", direct_beam="no", convection="yes",
+            kappa_value="file", kappa_file_path=str(ktab),
+            run_type="iterative", nlayer=8,
+            p_boa=1e9, p_toa=1e4, rad_convergence_limit=1e-5)
+
+    # T_intern enters Phys; ensemble members must share it -- vary albedo
+    cfgs = [mk("th_a", 700.0), mk("th_b", 700.0)]
+    cfgs[1].surf_albedo = 0.5
+    outs = run_ensemble(cfgs, tables=[table, table])
+    assert len(outs) == 2
+    for out in outs:
+        assert np.all(np.isfinite(out.result.T_lay))
+        # entropy diagnostics came from the thermo table
+        assert out.result.entropy_lay is not None
+        assert np.all(out.result.entropy_lay > 0)
