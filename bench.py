@@ -7,8 +7,14 @@ Prints one JSON line per metric, HEADLINE FIRST:
   2. rce_iterations_per_s -- the production radiative-equilibrium
      iteration (flux solve every step, cell-cache refresh every 10th).
   3. fluxpass_noniso_gridcells_per_s -- non-isothermal forward pass.
-  4. ro_mix_ms -- one on-the-fly Random Overlap opacity-mixing pass.
-  5. sharding_equality_max_rel -- 8-virtual-device CPU-mesh sanity
+  4. ro_mix_ms -- one on-the-fly Random Overlap opacity-mixing pass
+     (Pallas in-VMEM kernel on TPU).
+  5. rce_iterations_per_s_on_the_fly -- RCE iteration rate WITH
+     on-the-fly opacity mixing (RO refresh every 10th iteration).
+  6. fluxpass_matrix_gridcells_per_s -- exact Thomas/tridiagonal flux
+     solve (flux_calc_method=matrix).
+  7. beam_zenith_ms -- zenith-geometry-corrected direct beam pass.
+  8. sharding_equality_max_rel -- 8-virtual-device CPU-mesh sanity
      (sharded RCE == single device), run in a subprocess.
 
 ``vs_baseline`` of the headline is measured against the first-build fp64
@@ -146,17 +152,152 @@ def bench_ro_mix():
     gw = jnp.asarray(gw)
     K = 10
 
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def mix(T):
         def body(_, T):
             opac, _scat, _mmm = chem.mixed_opacities(
-                sset, T, p, wave, gw, gy, ro_method=1, scat=0)
+                sset, T, p, wave, gw, gy, ro_method=1, scat=0,
+                use_pallas=use_pallas)
             return T + 1e-30 * opac[0, 0, 0]
         return jax.lax.fori_loop(0, K, body, T)
 
     mix(T).block_until_ready()
     t0 = time.perf_counter()
     mix(T).block_until_ready()
+    return (time.perf_counter() - t0) / K * 1e3
+
+
+def _onthefly_workload():
+    from helios_tpu import chem
+    from helios_tpu.config import HeliosConfig
+    from helios_tpu.forward import build_model
+    from helios_tpu.io.opacity import synthetic_premixed_table
+
+    B, ny = 385, 20
+    donor = synthetic_premixed_table(nbin=B, ny=ny, ntemp=8, npress=6,
+                                     seed=1)
+    cfg = HeliosConfig(
+        planet="manual", g=2140.0, a=0.03142, R_planet=1.138,
+        R_star=0.805, T_star=5040.0, T_intern=100.0,
+        scattering="yes", direct_beam="no", convection="no",
+        run_type="iterative", iso_input="yes",
+        opacity_mixing="on-the-fly").finalize()
+    phys, arrays = build_model(cfg, donor)
+    specs = [chem.SpeciesSpec("H2O", True, False, "1e-3"),
+             chem.SpeciesSpec("CO2", True, False, "1e-4"),
+             chem.SpeciesSpec("H2", False, True, "0.9"),
+             chem.SpeciesSpec("He", False, False, "0.1")]
+    sset = chem.build_species_set(
+        specs, ktemps=donor.temperatures, kpress=donor.pressures,
+        nbin=B, ny=ny, nlayer=phys.nlayer,
+        opacity_tables={"H2O": donor.kpoints, "CO2": donor.kpoints * 3.0},
+        scat_tables={"H2": 8.49e-45 / donor.wave_centers ** 4})
+    return phys, arrays, sset
+
+
+def bench_rce_iterations_on_the_fly():
+    """RCE iteration rate with on-the-fly opacity mixing: the Random
+    Overlap refresh runs every 10th iteration inside the while_loop (the
+    reference's hot path for unmixed opacities)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.rce.radiative import radiation_loop
+
+    phys, arrays, sset = _onthefly_workload()
+    T0 = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    K = 100
+
+    run = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
+                                           max_steps=K, sset=sset))
+    state = run(T0)
+    jax.block_until_ready(state.T_lay)
+    assert int(state.it) == K
+    t0 = time.perf_counter()
+    state = run(T0)
+    jax.block_until_ready(state.T_lay)
+    return K / (time.perf_counter() - t0)
+
+
+def bench_matrix_fluxpass():
+    """Exact tridiagonal (Thomas) flux solve throughput
+    (flux_calc_method=matrix, the reference's recommended exact
+    scattering path, kernels.cu:1803-2426)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.config import HeliosConfig
+    from helios_tpu.forward import build_model, forward_fluxes
+    from helios_tpu.io.opacity import synthetic_premixed_table
+
+    table = synthetic_premixed_table(nbin=385, ny=20)
+    cfg = HeliosConfig(
+        planet="manual", g=2140.0, a=0.03142, R_planet=1.138,
+        R_star=0.805, T_star=5040.0, T_intern=100.0,
+        scattering="yes", direct_beam="no", convection="no",
+        run_type="iterative", iso_input="yes",
+        flux_calc_method="matrix").finalize()
+    phys, arrays = build_model(cfg, table)
+    T_lay = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    K = 20
+
+    @jax.jit
+    def fwd(T):
+        def body(_, T):
+            _flux, totals, _cache = forward_fluxes(phys, arrays, T)
+            return T + 1e-12 * totals.F_net
+        return jax.lax.fori_loop(0, K, body, T)
+
+    fwd(T_lay).block_until_ready()
+    n_rep = 3
+    t0 = time.perf_counter()
+    out = T_lay
+    for _ in range(n_rep):
+        out = fwd(out)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / (n_rep * K)
+    return phys.nlayer * phys.nbin * phys.ny / dt
+
+
+def bench_beam_zenith():
+    """Zenith-geometry-corrected direct beam (the terminator/rocky-planet
+    path, kernels.cu:1265-1362): one [I, L] x [L, S] triangular
+    contraction in mul+sum form."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu import fastpath as fp
+
+    L, B, Y = 105, 385, 20
+    S = B * Y
+    rng = np.random.default_rng(0)
+    dtau = jnp.asarray(np.exp(rng.normal(-2.0, 1.0, (L, S))))
+    z_lay = jnp.asarray(np.sort(rng.uniform(0.0, 5e8, L)))
+    planck_star = jnp.asarray(rng.uniform(1e3, 1e5, S))
+
+    from helios_tpu.ops.beam import _mu_star_matrix
+    mu_mat = _mu_star_matrix(z_lay, -0.2, 7e9, 1, L + 1, dtau.dtype)
+    mask = (jnp.arange(L)[None, :] >= jnp.arange(L + 1)[:, None])
+    W = jnp.where(mask, 1.0 / mu_mat, 0.0)
+
+    K = 20
+
+    @jax.jit
+    def beam(dt):
+        def body(_, dt):
+            F = fp.fdir_iso_flat(planck_star, dt, W, mu_star=-0.2,
+                                 R_star=7e10, a=1.5e12, dir_beam=1)
+            return dt + 1e-30 * F[0]
+        return jax.lax.fori_loop(0, K, body, dt)
+
+    beam(dtau).block_until_ready()
+    t0 = time.perf_counter()
+    beam(dtau).block_until_ready()
     return (time.perf_counter() - t0) / K * 1e3
 
 
@@ -232,11 +373,18 @@ def main():
         print(json.dumps({"metric": "fluxpass_noniso_gridcells_per_s",
                           "error": str(e)[:200]}), flush=True)
 
-    try:
-        _emit("ro_mix_ms", bench_ro_mix(), "ms")
-    except Exception as e:
-        print(json.dumps({"metric": "ro_mix_ms", "error": str(e)[:200]}),
-              flush=True)
+    for name, fn, unit in [
+            ("ro_mix_ms", bench_ro_mix, "ms"),
+            ("rce_iterations_per_s_on_the_fly",
+             bench_rce_iterations_on_the_fly, "it/s"),
+            ("fluxpass_matrix_gridcells_per_s", bench_matrix_fluxpass,
+             "cells/s"),
+            ("beam_zenith_ms", bench_beam_zenith, "ms")]:
+        try:
+            _emit(name, fn(), unit)
+        except Exception as e:
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
 
     rel = bench_sharding_subprocess()
     if rel is not None:

@@ -124,8 +124,10 @@ def fdir_iso_flat(planck_star_flat, delta_tau_tot, mu_weights, *,
     if mu_weights is None:
         expo = _rev_cumsum_above(delta_tau_tot) / mu_star
     else:
-        expo = jnp.einsum("il,ls->is", mu_weights, delta_tau_tot,
-                          preferred_element_type=delta_tau_tot.dtype)
+        # mul+sum, NOT einsum: an fp64 dot_general is emulated ~25x
+        # slower on TPU than a fused broadcast-multiply reduction
+        expo = jnp.sum(mu_weights[:, :, None] * delta_tau_tot[None, :, :],
+                       axis=1)
     F0 = -dir_beam * mu_star * I_dir
     return F0[None, :] * jnp.exp(expo)
 
@@ -147,15 +149,15 @@ def fdir_noniso_flat(planck_star_flat, dtau_up, dtau_low, mu_weights,
         Fc_dir = F0[None, :] * jnp.exp((above[1:] + dtau_up) / mu_star)
         return F_dir, Fc_dir
 
-    expo_full = jnp.einsum("il,ls->is", mu_weights, dtau_full,
-                           preferred_element_type=dtau_full.dtype)
+    # mul+sum, NOT einsum (fp64 dot_general is emulated ~25x slower)
+    expo_full = jnp.sum(mu_weights[:, :, None] * dtau_full[None, :, :],
+                        axis=1)
     F_dir = F0[None, :] * jnp.exp(expo_full)
 
     L = dtau_up.shape[0]
     mask_gt = (jnp.arange(L)[None, :] > jnp.arange(L)[:, None])
     W_above = jnp.where(mask_gt, mu_weights[:L], 0.0)
-    expo_c = (jnp.einsum("il,ls->is", W_above, dtau_full,
-                         preferred_element_type=dtau_full.dtype)
+    expo_c = (jnp.sum(W_above[:, :, None] * dtau_full[None, :, :], axis=1)
               + dtau_up / mu_diag[:, None])
     Fc_dir = F0[None, :] * jnp.exp(expo_c)
     return F_dir, Fc_dir

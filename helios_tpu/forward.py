@@ -364,7 +364,8 @@ def _gas_properties(phys: Phys, m: ModelArrays, T, p, sset):
         from helios_tpu import chem
         return chem.mixed_opacities(
             sset, T, p, m.lambda_centers, m.gauss_weight, m.gauss_y,
-            ro_method=phys.ro_method, scat=phys.scat)
+            ro_method=phys.ro_method, scat=phys.scat,
+            use_pallas=(phys.pallas_active and phys.dtype == "float64"))
     opac, scat = interp_ops.interpolate_opacity(
         m.ktable, m.scat_cross_table, m.ktemps, m.kpress, T, p)
     mmm = interp_ops.interpolate_meanmolmass(
@@ -614,7 +615,8 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
             Fd, Fu = thomas_ops.fband_matrix_iso(
                 _matrix_cells(cells, Y), planckband_lay,
                 fp.flat_to_cube(cache.F_dir, Y), m.surf_albedo,
-                fp.flat_to_cube(cache.scat_trigger[None], Y)[0], **common)
+                fp.flat_to_cube(cache.scat_trigger[None], Y)[0],
+                use_pallas=phys.pallas_active, **common)
             F_down, F_up = fp.cube_to_flat(Fd), fp.cube_to_flat(Fu)
         return flux_state._replace(F_down=F_down, F_up=F_up)
     else:
@@ -639,7 +641,8 @@ def solve_fluxes(phys: Phys, m: ModelArrays, cache: CellCache, T_lay,
                 fp.flat_to_cube(cache.F_dir, Y),
                 fp.flat_to_cube(cache.Fc_dir, Y), m.surf_albedo,
                 fp.flat_to_cube(cache.scat_trigger[None], Y)[0],
-                delta_tau_limit=phys.delta_tau_limit, **common)
+                delta_tau_limit=phys.delta_tau_limit,
+                use_pallas=phys.pallas_active, **common)
             F_down, F_up, Fc_down, Fc_up = (fp.cube_to_flat(x)
                                             for x in res)
         return FluxState(F_down=F_down, F_up=F_up, Fc_down=Fc_down,
