@@ -51,6 +51,9 @@ def main(argv=None):
     ap.add_argument("-BB_temp", type=float, default=None,
                     help="manual blackbody extrapolation temperature")
     ap.add_argument("-phoenix_dir", default="./input/phoenix/")
+    ap.add_argument("-download_phoenix", default="no",
+                    help="yes: fetch missing PHOENIX grid FITS files "
+                    "from the Goettingen server (reference wget path)")
     args = ap.parse_args(argv)
 
     if args.star_file:
@@ -74,7 +77,9 @@ def main(argv=None):
         lam, flux = st.convert_star(
             star, convert_to=args.convert_to, opac_file=args.opac_file,
             output_file=args.output_file, mode=args.mode,
-            BB_temp=args.BB_temp, phoenix_dir=args.phoenix_dir)
+            BB_temp=args.BB_temp, phoenix_dir=args.phoenix_dir,
+            download=args.download_phoenix.lower() in ("yes", "1",
+                                                       "true"))
         print(f"{star['name']}: {len(lam)} bins -> {args.output_file} "
               f"(/{args.convert_to}/{star['data_format']}/{star['name']})")
     return 0

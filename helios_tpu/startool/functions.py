@@ -9,10 +9,11 @@ the automatic Newton-Raphson fit of the extrapolation temperature; output
 into the reference HDF5 dataset layout
 (/{target}/{format}/{name} + /{target}/lambda).
 
-Differences from the reference: no network downloads (PHOENIX files must
-already exist locally -- this environment has no egress) and no
-interactive matplotlib accept/reject loop (the 'automatic' Newton-Raphson
-mode replaces it).
+Differences from the reference: PHOENIX downloads are OPT-IN
+(``-download_phoenix yes`` / ``download=True``; by default missing grid
+files raise with their exact Goettingen URLs for out-of-band fetching),
+and there is no interactive matplotlib accept/reject loop (the
+'automatic' Newton-Raphson mode replaces it).
 """
 
 from __future__ import annotations
@@ -66,16 +67,81 @@ def _phoenix_path(phoenix_dir, name, t, g, m):
                         "{:05d}_{:.2f}_{:.1f}.fits".format(t, g, m))
 
 
+# Goettingen PHOENIX-ACES-AGSS-COND-2011 grid (functions.py:119-129)
+_PHOENIX_BASE = ("ftp://phoenix.astro.physik.uni-goettingen.de/HiResFITS/"
+                 "PHOENIX-ACES-AGSS-COND-2011")
+_PHOENIX_WAVE_URL = ("ftp://phoenix.astro.physik.uni-goettingen.de/"
+                     "HiResFITS//WAVE_PHOENIX-ACES-AGSS-COND-2011.fits")
+
+
+def _phoenix_url(t, g, m):
+    z = "Z-{:.1f}".format(abs(m)) if m <= 0 else "Z+{:.1f}".format(m)
+    sign = "-{:.1f}".format(abs(m)) if m <= 0 else "+{:.1f}".format(m)
+    return (f"{_PHOENIX_BASE}/{z}/lte{t:05d}-{g:.2f}{sign}"
+            ".PHOENIX-ACES-AGSS-COND-2011-HiRes.fits")
+
+
+def download_phoenix_file(url: str, dest: str) -> None:
+    """Fetch one PHOENIX grid file (reference functions.py:129 wget).
+    Uses stdlib urllib; atomic rename so interrupted downloads never
+    leave a truncated FITS behind."""
+    import urllib.request
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".part"
+    urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, dest)
+
+
+def ensure_phoenix_files(phoenix_dir, name, grid_points,
+                         download: bool = False):
+    """Check the (t, log g, [M/H]) grid FITS files exist; optionally
+    download missing ones from the Goettingen server
+    (functions.py:119-129).  Raises with the exact URLs when files are
+    missing and downloading is disabled or fails -- so air-gapped users
+    can fetch them out of band."""
+    missing = []
+    for (t, g, m) in grid_points:
+        path = _phoenix_path(phoenix_dir, name, t, g, m)
+        if not os.path.exists(path):
+            missing.append((path, _phoenix_url(t, g, m)))
+    wave = os.path.join(phoenix_dir,
+                        "WAVE_PHOENIX-ACES-AGSS-COND-2011.fits")
+    if not os.path.exists(wave):
+        missing.append((wave, _PHOENIX_WAVE_URL))
+    if not missing:
+        return
+    if download:
+        errors = []
+        for path, url in missing:
+            try:
+                download_phoenix_file(url, path)
+            except Exception as e:   # no egress, server down, ...
+                errors.append(f"{url} -> {path}: {e}")
+        if not errors:
+            return
+        missing_msg = "; ".join(errors)
+        raise IOError(
+            f"PHOENIX download failed ({missing_msg}). Fetch the files "
+            "manually and place them at the listed paths.")
+    listing = "\n".join(f"  {url}\n    -> {path}" for path, url in missing)
+    raise FileNotFoundError(
+        "Missing PHOENIX grid files (pass download=True / CLI "
+        f"-download_phoenix yes to fetch them):\n{listing}")
+
+
 def read_fits_flux(path):
     from astropy.io import fits
     with fits.open(path) as f:
         return np.asarray(f[0].data[:], float)
 
 
-def interpol_phoenix_spectrum(phoenix_dir, name, teff, log_g, metal):
-    """Trilinear interpolation of local PHOENIX grids in (T_eff, log g,
-    [M/H]) (functions.py:93-223).  Grid files must exist locally under
-    phoenix_dir/name/TTTTT_G.GG_M.M.fits."""
+def interpol_phoenix_spectrum(phoenix_dir, name, teff, log_g, metal,
+                              download: bool = False):
+    """Trilinear interpolation of PHOENIX grids in (T_eff, log g, [M/H])
+    (functions.py:93-223).  Grid files live under
+    phoenix_dir/name/TTTTT_G.GG_M.M.fits; with ``download=True`` missing
+    files are fetched from the Goettingen server (reference wget path,
+    functions.py:119-129)."""
     if teff < 7000:
         tdown, tup = 100 * np.floor(teff / 100), 100 * np.ceil(teff / 100)
     else:
@@ -94,6 +160,12 @@ def interpol_phoenix_spectrum(phoenix_dir, name, teff, log_g, metal):
         if hi == lo:
             return [(lo, 1.0)]
         return [(lo, (hi - x) / (hi - lo)), (hi, (x - lo) / (hi - lo))]
+
+    points = [(t, g, m)
+              for t, _ in axis_weights(teff, tdown, tup)
+              for g, _ in axis_weights(log_g, gdown, gup)
+              for m, _ in axis_weights(metal, mdown, mup)]
+    ensure_phoenix_files(phoenix_dir, name, points, download=download)
 
     out = None
     for t, wt in axis_weights(teff, tdown, tup):
@@ -161,7 +233,8 @@ def opacity_grid_wavelengths(opac_file):
 def convert_star(star: dict, convert_to: str, opac_file: str,
                  output_file: str, mode: str = "automatic",
                  BB_temp: Optional[float] = None,
-                 phoenix_dir: str = "./input/phoenix/"):
+                 phoenix_dir: str = "./input/phoenix/",
+                 download: bool = False):
     """Full star_tool conversion (functions.py:292-486, non-interactive).
 
     star: dict with name, data_format (phoenix|ascii|muscles|btsettl),
@@ -175,10 +248,12 @@ def convert_star(star: dict, convert_to: str, opac_file: str,
 
     fmt = star["data_format"]
     if fmt == "phoenix":
-        orig_lambda = phoenix_wavelengths(phoenix_dir)
+        # interpolation checks/downloads the grid files (incl. the WAVE
+        # file) before anything is read
         orig_flux = interpol_phoenix_spectrum(
             phoenix_dir, star["name"], star["temp"], star["log_g"],
-            star["m"])
+            star["m"], download=download)
+        orig_lambda = phoenix_wavelengths(phoenix_dir)
     elif fmt == "ascii":
         orig_lambda, orig_flux = read_ascii_file(
             star["source_file"], star["w_conversion_factor"],

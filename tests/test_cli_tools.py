@@ -150,3 +150,27 @@ def test_startool_ascii_conversion(tmp_path):
     want = np.pi * tools.calc_analyt_planck_in_interval(
         T_star, edges[:-1], edges[1:])
     np.testing.assert_allclose(conv, want, rtol=0.05)
+
+
+def test_phoenix_missing_files_error_lists_urls(tmp_path):
+    """ensure_phoenix_files names every missing grid file with its
+    Goettingen URL (reference star_tool/functions.py:119-129), and the
+    download path is exercised via a local file:// fetch."""
+    import pytest
+
+    from helios_tpu.startool import functions as st
+
+    with pytest.raises(FileNotFoundError) as e:
+        st.ensure_phoenix_files(str(tmp_path), "gj1214",
+                                [(3000, 5.0, 0.0)], download=False)
+    msg = str(e.value)
+    assert "lte03000-5.00-0.0.PHOENIX-ACES-AGSS-COND-2011-HiRes.fits" in msg
+    assert "WAVE_PHOENIX-ACES-AGSS-COND-2011.fits" in msg
+    assert str(tmp_path) in msg
+
+    # download machinery works (file:// URL; no egress needed)
+    src = tmp_path / "src.fits"
+    src.write_bytes(b"FITSDATA")
+    dest = tmp_path / "sub" / "out.fits"
+    st.download_phoenix_file(f"file://{src}", str(dest))
+    assert dest.read_bytes() == b"FITSDATA"

@@ -229,3 +229,24 @@ def test_pipeline_sharded_real_385bin_workload(tmp_path):
     assert out8.result.F_up_band.shape[1] == 385
     np.testing.assert_allclose(out8.result.F_up_band[6],
                                out1.result.F_up_band[6], rtol=1e-5)
+
+
+def test_examples_quickstart_end_to_end(tmp_path):
+    """The shipped first-run path (docs/tutorial.md section 1): generate
+    example inputs, run the CLI against the generated param.dat."""
+    from helios_tpu.__main__ import main
+    from helios_tpu.examples import write_example_inputs
+
+    paths = write_example_inputs(str(tmp_path / "ex"), nbin=16, ny=4)
+    for p in paths.values():
+        assert os.path.exists(p)
+
+    # shrink the run so CI stays fast; same config surface as the docs
+    rc = main(["-parameter_file", paths["param"],
+               "-number_of_layers", "10", "-isothermal_layers", "yes",
+               "-convective_adjustment", "no",
+               "-radiative_equilibrium_criterion", "1e-5"])
+    assert rc == 0
+    out = tmp_path / "ex" / "output" / "example"
+    assert (out / "example_tp.dat").exists()
+    assert (out / "example_TOA_flux_eclipse.dat").exists()
