@@ -79,13 +79,17 @@ radiative equilibrium criterion =                     1e-8
 """
 
 ENSEMBLE_TEMPLATE = """# Planet-ensemble override file: first line names HeliosConfig
-# fields, one row per planet.  Run with
+# fields, one row per planet.  Ensemble members share the compile-time
+# physics (grid sizes, stellar/internal temperatures, iteration knobs);
+# per-planet variation flows through array-level inputs: surface
+# albedo, stellar spectrum file, clouds, additional heating, opacity
+# table, initial TP profile.  Run with
 #   python -m helios_tpu -parameter_file param.dat \\
 #          -planet_ensemble_file planets.dat
-name        T_intern   surf_albedo
-warm        300        0.0
-cold        100        0.0
-bright      300        0.5
+name        surf_albedo
+dark        0.0
+gray        0.25
+bright      0.5
 """
 
 

@@ -80,7 +80,10 @@ def _pad_to(x, s_pad):
 
 
 @partial(jax.jit, static_argnames=("tile_s",))
-def thomas_solve_pallas(b, c, d, *, tile_s: int = 1024):
+def thomas_solve_pallas(b, c, d, *, tile_s: int = 512):
+    # tile_s 512 keeps the block VMEM (6 double-buffered inputs + 2
+    # outputs + 4 scratch at [n, tile]) under the 16 MB scoped budget
+    # for the production n = 2*(L+1) = 212
     """df64 Thomas solve of [n, S] fp64 arrays (see module docstring).
 
     Pads S to the lane tile; padded columns get the identity system

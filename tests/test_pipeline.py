@@ -250,3 +250,21 @@ def test_examples_quickstart_end_to_end(tmp_path):
     out = tmp_path / "ex" / "output" / "example"
     assert (out / "example_tp.dat").exists()
     assert (out / "example_TOA_flux_eclipse.dat").exists()
+
+
+def test_examples_shipped_ensemble_file(tmp_path):
+    """The shipped planets.dat runs through the ensemble CLI against the
+    generated example inputs (docs/tutorial.md section 4)."""
+    from helios_tpu.__main__ import main
+    from helios_tpu.examples import write_example_inputs
+
+    paths = write_example_inputs(str(tmp_path / "ex"), nbin=16, ny=4)
+    rc = main(["-parameter_file", paths["param"],
+               "-planet_ensemble_file", paths["ensemble"],
+               "-number_of_layers", "8", "-isothermal_layers", "yes",
+               "-convective_adjustment", "no",
+               "-radiative_equilibrium_criterion", "1e-5"])
+    assert rc == 0
+    out = tmp_path / "ex" / "output"
+    for name in ("dark", "gray", "bright"):
+        assert (out / name / f"{name}_tp.dat").exists()
