@@ -617,7 +617,11 @@ def fband_iso_pallas(cells, planckband_lay, F_dir, surf_albedo, F_up_prev,
     emis = C.boa_emis.reshape(S)
     fdir0 = F_dir[0].reshape(S)
 
-    fdown, fup = fused_iso_sweep(
+    # fp64 inputs go through the df64 kernel (Mosaic cannot lower fp64;
+    # interpret mode tolerates it, the compiled path must not see it)
+    solve = (fused_iso_sweep_df64 if C.a.dtype == jnp.float64
+             else fused_iso_sweep)
+    fdown, fup = solve(
         flat(C.a), flat(C.b_nm), flat(C.src_down), flat(C.src_up),
         toa.astype(C.a.dtype), refl.astype(C.a.dtype),
         emis.astype(C.a.dtype), fdir0.astype(C.a.dtype),

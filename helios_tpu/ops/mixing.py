@@ -6,10 +6,14 @@ calc_h2o_scat (:3404-3440) and add_to_mixed_scat (:3444-3459).
 The reference's Random Overlap runs, per (bin, layer) CUDA thread, an
 insertion sort of the 400 pairwise opacity sums (with a fill-order trick to
 pre-sort; the value multiset is identical).  Here the whole grid is mixed
-at once: one batched `lax.sort` over a [layer, bin, ny*ny] tensor, the
-cumulative y-positions as a cumsum, and the reference's sequential
-rebinning loop (whose interval index advances at least one step per output
-point -- an important quirk, see `_rebin_indices`) as a tiny 20-step scan.
+at once, in TPU-shaped vector ops end to end: one batched `lax.sort` over
+a [layer, bin, ny*ny] tensor, a log-shift cumsum (`_cumsum_lanes` -- the
+native cumsum lowers to O(n) passes on the TPU lane axis), a closed-form
+rebin-index recurrence (`_rebin_indices`, preserving the reference quirk
+that the interval index advances at least one step per output point), and
+gather-free exact interval selection (`_select_at`).  On TPU the
+production path instead runs the fully fused in-VMEM kernel
+(kernels/ro_pallas.py); this module stays the exact oracle and CPU path.
 """
 
 from __future__ import annotations

@@ -297,7 +297,21 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
             chunk = min(chunk, cfg0.checkpoint_every)
         chunk = max(chunk // 10 * 10, 10)   # cache-refresh cadence
 
-    m_stacked = stack_models(models)
+    # spectral padding: the loop runs on a padded copy when the bin
+    # count does not divide the spectral axis (sharding.pad_spectral);
+    # post-processing keeps the original models
+    phys_run, models_run, sset_run = phys, models, sset
+    if mesh is not None and mesh.shape["spectral"] > 1:
+        from helios_tpu.parallel import sharding as shd
+        n_spec = mesh.shape["spectral"]
+        if phys.nbin % n_spec != 0:
+            padded = [shd.pad_spectral(phys, m, n_spec) for m in models]
+            phys_run = padded[0][0]
+            models_run = [m for _, m in padded]
+            if sset is not None:
+                sset_run = shd.pad_species(sset, n_spec)
+
+    m_stacked = stack_models(models_run)
     T0b = jnp.asarray(np.stack(T0s))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -307,11 +321,11 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
             k: P("planet", *v) for k, v in shd._MODEL_SPECS.items()})
         m_stacked = jax.device_put(m_stacked, jax.tree.map(
             lambda s: NamedSharding(mesh, s), m_specs))
-        if sset is not None:
-            sset = shd.place_species(sset, mesh)
+        if sset_run is not None:
+            sset_run = shd.place_species(sset_run, mesh)
 
     init, rad_step, conv_enter, conv_step = _batched_runners(
-        phys, thermo, sset, mesh, chunk)
+        phys_run, thermo, sset_run, mesh, chunk)
 
     from helios_tpu import checkpoint as ckpt_mod
     names = [c.name for c in cfgs]
@@ -364,6 +378,10 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
             final_T, flux, F_smooth_sum = (rad_i.T_lay, rad_i.flux,
                                            rad_i.F_smooth_sum)
             conv_layer, final_limit = None, rad_i.local_limit
+
+        if phys_run.nbin != phys.nbin:
+            from helios_tpu.parallel import sharding as shd
+            flux = shd.strip_flux(flux, phys.nbin, phys.ny)
 
         if thermo is not None:
             kappa_lay, c_p_lay = kappa_cp_lay(thermo, final_T,

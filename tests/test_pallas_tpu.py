@@ -23,7 +23,7 @@ tpu_only = pytest.mark.skipif(
 
 @pytest.mark.tpu
 @tpu_only
-def test_compiled_iso_sweep_fp32_and_df64():
+def test_compiled_iso_sweep_df64():
     import sys
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_sweep import make_cells
@@ -32,7 +32,9 @@ def test_compiled_iso_sweep_fp32_and_df64():
     from helios_tpu.ops import sweep as sweep_ops
 
     rng = np.random.default_rng(7)
-    L, B, Y = 21, 12, 4
+    # production-like tile shapes: Mosaic's layout inference CHECK-fails
+    # on tiny sub-lane-width spectral extents (layout.h:320)
+    L, B, Y = 40, 128, 4
     cells, arr, par = make_cells(rng, L, B, Y, scat_corr=1)
     nint = L + 1
     planckband_lay = rng.uniform(1e2, 1e4, (L + 2, B))
@@ -74,15 +76,6 @@ def test_compiled_random_overlap():
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
-if __name__ == "__main__":
-    # standalone TPU runner (bypasses conftest's CPU pin)
-    jax.config.update("jax_enable_x64", True)
-    test_compiled_iso_sweep_fp32_and_df64()
-    test_compiled_random_overlap()
-    test_compiled_thomas_solve()
-    print("compiled-Mosaic parity OK on", jax.devices())
-
-
 @pytest.mark.tpu
 @tpu_only
 def test_compiled_thomas_solve():
@@ -97,3 +90,12 @@ def test_compiled_thomas_solve():
     want = np.asarray(thomas_solve(b, c, d))
     got = np.asarray(thomas_solve(b, c, d, use_pallas=True))
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+if __name__ == "__main__":
+    # standalone TPU runner (bypasses conftest's CPU pin)
+    jax.config.update("jax_enable_x64", True)
+    test_compiled_iso_sweep_df64()
+    test_compiled_random_overlap()
+    test_compiled_thomas_solve()
+    print("compiled-Mosaic parity OK on", jax.devices())

@@ -373,3 +373,39 @@ def test_ensemble_table_thermo_and_convection(tmp_path):
         # entropy diagnostics came from the thermo table
         assert out.result.entropy_lay is not None
         assert np.all(out.result.entropy_lay > 0)
+
+
+def test_run_ensemble_padded_spectral_mesh(tmp_path):
+    """Planet x spectral mesh with a bin count indivisible by the
+    spectral axis: the ensemble pads transparently and matches
+    individual unsharded runs."""
+    from helios_tpu import pipeline
+    from helios_tpu.parallel.ensemble import run_ensemble
+
+    table = synthetic_premixed_table(nbin=21, ny=4, ntemp=10, npress=8,
+                                     seed=6)
+
+    def mk(name, albedo, **over):
+        kw = dict(
+            name=name, output_dir=str(tmp_path) + "/",
+            planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+            R_star=1.0, T_star=4000.0, T_intern=200.0,
+            scattering="no", direct_beam="no", convection="no",
+            run_type="iterative", iso_input="yes", nlayer=10,
+            p_boa=1e8, p_toa=1e3, rad_convergence_limit=1e-6,
+            surf_albedo=albedo)
+        kw.update(over)
+        return HeliosConfig(**kw)
+
+    cfgs = [mk("pp_a", 0.0, n_planet_batch=2, n_spectral_shards=4),
+            mk("pp_b", 0.7, n_planet_batch=2, n_spectral_shards=4)]
+    outs = run_ensemble(cfgs, tables=[table, table])
+    for cfg, out in zip(cfgs, outs):
+        assert out.result.F_up_band.shape[1] == 21
+        want = pipeline.run(mk(cfg.name + "_solo",
+                               float(cfg.surf_albedo)), table=table)
+        np.testing.assert_allclose(out.result.T_lay, want.result.T_lay,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            out.result.F_up_band[10], want.result.F_up_band[10],
+            rtol=1e-5)
