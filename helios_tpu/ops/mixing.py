@@ -72,8 +72,9 @@ def _cumsum_lanes(x):
 
 
 def _split_f32(x):
-    """Exact two-float32 split: x == hi + lo (Dekker-style, for values in
-    f32 range).  Identity (x, 0) when x is already single precision."""
+    """Two-float32 split, x ~= hi + lo to ~2^-49 relative (hi carries 24
+    bits, lo the next ~24 of fp64's 53; same df64 precision as the rest
+    of the TPU compute path).  Identity (x, 0) for single precision."""
     if x.dtype != jnp.float64:
         return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
     hi = x.astype(jnp.float32)
@@ -87,11 +88,11 @@ def _select_at(w, arrays):
 
     take_along_axis along the TPU lane axis lowers to per-element
     dynamic slices (71 ms on the production RO shape); instead build ONE
-    f32 one-hot of w and contract on the MXU.  Selection through an f32
-    one-hot is EXACT even for f64 data: split each array into
-    (hi, lo) float32 parts (x == hi + lo), contract each part -- every
-    one-hot row has a single 1.0 so each product and sum is exact -- and
-    recombine in f64.
+    f32 one-hot of w and contract on the MXU.  The CONTRACTION is exact
+    (every one-hot row has a single 1.0, so each product and sum is a
+    plain copy); the selected values carry the two-float32 split's ~49
+    significand bits (see _split_f32) -- df64 precision, same as the
+    fused kernels.
     """
     n2 = arrays[0].shape[-1]
     dtype = arrays[0].dtype

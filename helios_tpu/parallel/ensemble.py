@@ -135,23 +135,36 @@ def run_ensemble_loops(phys: Phys, models: Sequence[ModelArrays],
 
 def _batched_runners(phys: Phys, thermo, sset, mesh, chunk):
     """Jitted batched (init, rad_step, conv_enter, conv_step), each
-    operating on a stacked ModelArrays + batched loop state.  ``chunk``
-    caps iterations per call (None = run to convergence)."""
+    called as fn(m_stacked, sarr, state) where ``sarr`` is
+    sharding.sset_arrays(sset) (() when sset is None).  ``chunk`` caps
+    iterations per call (None = run to convergence).
+
+    Under a mesh the species arrays are THREADED through shard_map with
+    their spectral PartitionSpecs (same mechanism as
+    sharding.production_runners) -- closing over a spectrally sharded
+    sset would hand the shard-local body global-bin tables."""
+    import dataclasses
+
     from helios_tpu.rce.loop import convection_loop
     from helios_tpu.rce.radiative import init_rad_state, radiation_loop
 
     if mesh is None:
-        init = jax.jit(jax.vmap(
+        # unsharded: the (global) species tables are safe to close over;
+        # sarr is accepted and ignored for a uniform call signature
+        init_v = jax.jit(jax.vmap(
             lambda m, t: init_rad_state(phys, m, t, sset)))
-        rad_step = jax.jit(jax.vmap(lambda m, s: radiation_loop(
+        rad_step_v = jax.jit(jax.vmap(lambda m, s: radiation_loop(
             phys, m, thermo, s.T_lay, max_steps=chunk, sset=sset,
             state0=s)))
-        conv_enter = jax.jit(jax.vmap(lambda m, r: convection_loop(
+        conv_enter_v = jax.jit(jax.vmap(lambda m, r: convection_loop(
             phys, m, thermo, r, max_steps=0, sset=sset)))
-        conv_step = jax.jit(jax.vmap(lambda m, s: convection_loop(
+        conv_step_v = jax.jit(jax.vmap(lambda m, s: convection_loop(
             phys, m, thermo, None, max_steps=chunk, sset=sset,
             state0=s)))
-        return init, rad_step, conv_enter, conv_step
+        return (lambda m, sarr, t: init_v(m, t),
+                lambda m, sarr, s: rad_step_v(m, s),
+                lambda m, sarr, r: conv_enter_v(m, r),
+                lambda m, sarr, s: conv_step_v(m, s))
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -164,48 +177,93 @@ def _batched_runners(phys: Phys, thermo, sset, mesh, chunk):
     t_spec = P("planet", None)
     rad_specs = shd._rad_state_specs(phys, planet=True)
     conv_specs = shd._conv_state_specs(phys, planet=True)
+    s_specs = shd._sset_specs(sset) if sset is not None else ()
+
+    def local_sset(sarr):
+        if sset is None:
+            return None
+        data, kt, kp = sarr
+        return dataclasses.replace(sset, data=list(data), ktemps=kt,
+                                   kpress=kp)
 
     def _shm(body, in_specs, out_specs):
         return jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False))
 
     init = _shm(
-        lambda m, t: jax.vmap(lambda mi, ti: init_rad_state(
-            phys_l, mi, ti, sset, axis_name=shd.AXIS))(m, t),
-        (m_specs, t_spec), rad_specs)
+        lambda m, sarr, t: jax.vmap(lambda mi, ti: init_rad_state(
+            phys_l, mi, ti, local_sset(sarr), axis_name=shd.AXIS))(m, t),
+        (m_specs, s_specs, t_spec), rad_specs)
     rad_step = _shm(
-        lambda m, s: jax.vmap(lambda mi, si: radiation_loop(
-            phys_l, mi, thermo, si.T_lay, max_steps=chunk, sset=sset,
-            state0=si, axis_name=shd.AXIS))(m, s),
-        (m_specs, rad_specs), rad_specs)
+        lambda m, sarr, s: jax.vmap(lambda mi, si: radiation_loop(
+            phys_l, mi, thermo, si.T_lay, max_steps=chunk,
+            sset=local_sset(sarr), state0=si,
+            axis_name=shd.AXIS))(m, s),
+        (m_specs, s_specs, rad_specs), rad_specs)
     conv_enter = _shm(
-        lambda m, r: jax.vmap(lambda mi, ri: convection_loop(
-            phys_l, mi, thermo, ri, max_steps=0, sset=sset,
-            axis_name=shd.AXIS))(m, r),
-        (m_specs, rad_specs), conv_specs)
+        lambda m, sarr, r: jax.vmap(lambda mi, ri: convection_loop(
+            phys_l, mi, thermo, ri, max_steps=0,
+            sset=local_sset(sarr), axis_name=shd.AXIS))(m, r),
+        (m_specs, s_specs, rad_specs), conv_specs)
     conv_step = _shm(
-        lambda m, s: jax.vmap(lambda mi, si: convection_loop(
-            phys_l, mi, thermo, None, max_steps=chunk, sset=sset,
-            state0=si, axis_name=shd.AXIS))(m, s),
-        (m_specs, conv_specs), conv_specs)
+        lambda m, sarr, s: jax.vmap(lambda mi, si: convection_loop(
+            phys_l, mi, thermo, None, max_steps=chunk,
+            sset=local_sset(sarr), state0=si,
+            axis_name=shd.AXIS))(m, s),
+        (m_specs, s_specs, conv_specs), conv_specs)
     return init, rad_step, conv_enter, conv_step
 
 
-def _restore_batched_rad(phys, init, m_stacked, ckpt):
-    """Batched analogue of checkpoint.restore_rad_state."""
+def _restore_batched_rad(phys_run, init, m_stacked, sarr, ckpt):
+    """Batched analogue of checkpoint.restore_rad_state.
+
+    ``phys_run`` is the (possibly spectrally padded) physics the loop
+    actually runs with -- the fingerprint must guard the SAVED shapes,
+    so save and restore both use phys_run, like pipeline.run."""
     from helios_tpu import checkpoint as ckpt_mod
     from helios_tpu.forward import FluxState, integrate_flux_flat
 
-    ckpt_mod._check_fingerprint(phys, ckpt)
+    ckpt_mod._check_fingerprint(phys_run, ckpt)
     T = jnp.asarray(ckpt["T_lay"])                 # [N, L+1]
-    fresh = init(m_stacked, T)
+    fresh = init(m_stacked, sarr, T)
     flux = FluxState(**{f: jnp.asarray(ckpt["flux__" + f])
                         for f in FluxState._fields})
     totals = jax.vmap(lambda m, fl, fd: integrate_flux_flat(
-        phys, m, fl, fd))(m_stacked, flux, fresh.cache.F_dir)
+        phys_run, m, fl, fd))(m_stacked, flux, fresh.cache.F_dir)
     return fresh._replace(
         flux=flux, totals=totals,
         **{f: jnp.asarray(ckpt[f]) for f in ckpt_mod._STATE_FIELDS})
+
+
+def _restore_batched_conv(phys_run, m_stacked, sset, ckpt):
+    """Batched analogue of checkpoint.restore_conv_state: the bulk cell
+    cache is recomputed from the restored temperatures; the stale fields
+    the convection body reads before the 10-step refresh (totals,
+    meanmolmass, cumulative additional heating) come from the payload."""
+    from helios_tpu import checkpoint as ckpt_mod
+    from helios_tpu.forward import FluxState, compute_cells
+    from helios_tpu.ops import interp as interp_ops
+    from helios_tpu.ops.integrate import FluxTotals
+    from helios_tpu.rce.loop import ConvLoopState
+
+    ckpt_mod._check_fingerprint(phys_run, ckpt)
+    T_lay = jnp.asarray(ckpt["T_lay"])             # [N, L+1]
+
+    def mk_cache(m, t):
+        return compute_cells(phys_run, m, t,
+                             interp_ops.interface_temperatures(t), sset)
+
+    cache = jax.jit(jax.vmap(mk_cache))(m_stacked, T_lay)
+    cache = cache._replace(
+        meanmolmass_lay=jnp.asarray(ckpt["cache__meanmolmass_lay"]),
+        F_add_heat_sum=jnp.asarray(ckpt["cache__F_add_heat_sum"]))
+    flux = FluxState(**{f: jnp.asarray(ckpt["flux__" + f])
+                        for f in FluxState._fields})
+    totals = FluxTotals(**{f: jnp.asarray(ckpt["totals__" + f])
+                           for f in FluxTotals._fields})
+    return ConvLoopState(
+        cache=cache, flux=flux, totals=totals,
+        **{f: jnp.asarray(ckpt[f]) for f in ckpt_mod._CONV_FIELDS})
 
 
 def _ensemble_progress(phase, state, names, wall_s, stream=None):
@@ -326,44 +384,78 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
 
     init, rad_step, conv_enter, conv_step = _batched_runners(
         phys_run, thermo, sset_run, mesh, chunk)
+    if mesh is not None:
+        sarr = shd.sset_arrays(sset_run)
+    else:
+        sarr = ()
 
     from helios_tpu import checkpoint as ckpt_mod
     names = [c.name for c in cfgs]
+    conv_ckpt_path = None
+    if ckpt_path is not None:
+        import os
+        base, ext = os.path.splitext(ckpt_path)
+        if base.endswith(".ckpt"):
+            base, ext = base[:-5], ".ckpt" + ext
+        conv_ckpt_path = base + "_conv" + ext
+
     rads = None
+    conv_resume = None
     if ckpt_path is not None and chunk is not None:
-        ck = ckpt_mod.load_rad_checkpoint(ckpt_path)
-        if ck is not None and ckpt_mod.checkpoint_phase(ck) == "radiation":
-            rads = _restore_batched_rad(phys, init, m_stacked, ck)
-    if rads is None:
-        rads = init(m_stacked, T0b)
+        if want_conv and conv_ckpt_path is not None:
+            cck = ckpt_mod.load_conv_checkpoint(conv_ckpt_path)
+            if (cck is not None
+                    and ckpt_mod.checkpoint_phase(cck) == "convection"):
+                conv_resume = _restore_batched_conv(
+                    phys_run, m_stacked, sset_run, cck)
+        if conv_resume is None:
+            ck = ckpt_mod.load_rad_checkpoint(ckpt_path)
+            if (ck is not None
+                    and ckpt_mod.checkpoint_phase(ck) == "radiation"):
+                rads = _restore_batched_rad(phys_run, init, m_stacked,
+                                            sarr, ck)
+    if rads is None and conv_resume is None:
+        rads = init(m_stacked, sarr, T0b)
 
     if chunk is None:
         # unmonitored: rad_step/conv_step were built uncapped
-        rads = rad_step(m_stacked, rads)
+        rads = rad_step(m_stacked, sarr, rads)
         convs = None
         if want_conv:
-            convs = conv_enter(m_stacked, rads)
-            convs = conv_step(m_stacked, convs)
+            convs = conv_enter(m_stacked, sarr, rads)
+            convs = conv_step(m_stacked, sarr, convs)
     else:
-        while bool(np.asarray(rads.keep_running).any()):
-            tc = time.time()
-            rads = rad_step(m_stacked, rads)
-            jax.block_until_ready(rads.T_lay)
-            if progress:
-                _ensemble_progress("radiation", rads, names,
-                                   time.time() - tc)
-            if ckpt_path is not None:
-                ckpt_mod.save_rad_checkpoint(ckpt_path, rads, phys)
+        if conv_resume is None:
+            while bool(np.asarray(rads.keep_running).any()):
+                tc = time.time()
+                rads = rad_step(m_stacked, sarr, rads)
+                jax.block_until_ready(rads.T_lay)
+                if progress:
+                    _ensemble_progress("radiation", rads, names,
+                                       time.time() - tc)
+                if ckpt_path is not None:
+                    ckpt_mod.save_rad_checkpoint(ckpt_path, rads,
+                                                 phys_run)
         convs = None
         if want_conv:
-            convs = conv_enter(m_stacked, rads)
+            if conv_resume is not None:
+                convs = conv_resume
+                ck = ckpt_mod.load_rad_checkpoint(ckpt_path)
+                rads = (_restore_batched_rad(phys_run, init, m_stacked,
+                                             sarr, ck)
+                        if ck is not None else init(m_stacked, sarr, T0b))
+            else:
+                convs = conv_enter(m_stacked, sarr, rads)
             while bool(np.asarray(convs.keep_running).any()):
                 tc = time.time()
-                convs = conv_step(m_stacked, convs)
+                convs = conv_step(m_stacked, sarr, convs)
                 jax.block_until_ready(convs.T_lay)
                 if progress:
                     _ensemble_progress("convection", convs, names,
                                        time.time() - tc)
+                if conv_ckpt_path is not None:
+                    ckpt_mod.save_conv_checkpoint(conv_ckpt_path, convs,
+                                                  phys_run)
 
     outs = []
     for i, (cfg, arrays) in enumerate(zip(cfgs, models)):
@@ -451,6 +543,10 @@ def parse_ensemble_file(path: str):
             rows.append(dict(zip(header, cols)))
     if header is None:
         raise ValueError(f"{path}: empty ensemble file")
+    if not rows:
+        raise ValueError(
+            f"{path}: ensemble file names fields {header} but contains "
+            "no planet rows")
     from helios_tpu.config import HeliosConfig
     bad = [h for h in header
            if h not in HeliosConfig.__dataclass_fields__]

@@ -409,3 +409,93 @@ def test_run_ensemble_padded_spectral_mesh(tmp_path):
         np.testing.assert_allclose(
             out.result.F_up_band[10], want.result.F_up_band[10],
             rtol=1e-5)
+
+
+def test_run_ensemble_on_the_fly_sharded_mesh(tmp_path):
+    """Ensemble + on-the-fly mixing + (planet x spectral) mesh: the
+    species tables must be THREADED through shard_map (a closed-over
+    sharded sset hands the shard-local body global-bin tables)."""
+    from helios_tpu import chem, pipeline
+    from helios_tpu.parallel.ensemble import run_ensemble
+
+    B, ny, L = 16, 4, 10
+    donor = synthetic_premixed_table(nbin=B, ny=ny, ntemp=8, npress=6,
+                                     seed=9)
+    specs = [chem.SpeciesSpec("H2O", True, False, "1e-3"),
+             chem.SpeciesSpec("CO2", True, False, "1e-4"),
+             chem.SpeciesSpec("H2", False, False, "0.9"),
+             chem.SpeciesSpec("He", False, False, "0.1")]
+
+    def mk_sset():
+        return chem.build_species_set(
+            specs, ktemps=donor.temperatures, kpress=donor.pressures,
+            nbin=B, ny=ny, nlayer=L,
+            opacity_tables={"H2O": donor.kpoints,
+                            "CO2": donor.kpoints * 3.0})
+
+    def mk(name, albedo, **over):
+        kw = dict(name=name, output_dir=str(tmp_path) + "/",
+                  planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+                  R_star=1.0, T_star=4000.0, T_intern=200.0,
+                  scattering="no", direct_beam="no", convection="no",
+                  run_type="iterative", iso_input="yes", nlayer=L,
+                  p_boa=1e8, p_toa=1e3, rad_convergence_limit=1e-6,
+                  surf_albedo=albedo, opacity_mixing="on-the-fly")
+        kw.update(over)
+        return HeliosConfig(**kw)
+
+    cfgs = [mk("otf_a", 0.0, n_planet_batch=2, n_spectral_shards=4),
+            mk("otf_b", 0.6, n_planet_batch=2, n_spectral_shards=4)]
+    outs = run_ensemble(cfgs, tables=[donor, donor], sset=mk_sset())
+    for cfg, out in zip(cfgs, outs):
+        want = pipeline.run(mk(cfg.name + "_solo",
+                               float(cfg.surf_albedo)),
+                            table=donor, sset=mk_sset())
+        np.testing.assert_allclose(out.result.T_lay, want.result.T_lay,
+                                   rtol=1e-6)
+
+
+def test_ensemble_conv_checkpoint_resume(tmp_path):
+    """The ensemble convection phase checkpoints and resumes (the
+    radiation-only checkpoint would silently replay convection)."""
+    import os
+
+    from helios_tpu.parallel.ensemble import run_ensemble
+
+    table = synthetic_premixed_table(nbin=16, ny=4, ntemp=10, npress=8,
+                                     seed=3)
+    table.kpoints *= 10.0
+
+    def mk():
+        return [HeliosConfig(
+            name=f"cv_{i}", output_dir=str(tmp_path) + "/",
+            planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+            R_star=30.0, T_star=30.0, T_intern=700.0,
+            scattering="no", direct_beam="no", convection="yes",
+            kappa_value=0.1, run_type="iterative", nlayer=10,
+            p_boa=1e9, p_toa=1e3, adapt_interval=6,
+            surf_albedo=0.1 * i, checkpoint_every=40, chunk_iters=40)
+            for i in range(2)]
+
+    outs = run_ensemble(mk(), tables=[table, table])
+    assert outs[0].conv is not None
+    d = os.path.join(str(tmp_path), "cv_0")
+    assert os.path.exists(os.path.join(d, "ensemble.ckpt.npz"))
+    assert os.path.exists(os.path.join(d, "ensemble_conv.ckpt.npz"))
+
+    # rerun: the converged convection checkpoint restores and the run
+    # exits immediately with identical results
+    outs2 = run_ensemble(mk(), tables=[table, table])
+    np.testing.assert_allclose(outs2[0].result.T_lay,
+                               outs[0].result.T_lay, rtol=1e-12)
+    np.testing.assert_allclose(outs2[1].result.T_lay,
+                               outs[1].result.T_lay, rtol=1e-12)
+
+
+def test_ensemble_file_header_only_raises(tmp_path):
+    from helios_tpu.parallel.ensemble import parse_ensemble_file
+
+    p = tmp_path / "planets.dat"
+    p.write_text("# comment\nname surf_albedo\n")
+    with pytest.raises(ValueError, match="no planet rows"):
+        parse_ensemble_file(str(p))
