@@ -222,6 +222,46 @@ def bench_rce_iterations_on_the_fly():
     return K / (time.perf_counter() - t0)
 
 
+def bench_conv_iterations():
+    """Convective-phase iteration rate: flux solve + device-side
+    convective adjustment + conv_temp step (the loop the reference
+    round-trips to the host every iteration, computation.py:992-1174)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.config import HeliosConfig
+    from helios_tpu.forward import build_model
+    from helios_tpu.io.opacity import synthetic_premixed_table
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import make_const_thermo, radiation_loop
+
+    table = synthetic_premixed_table(nbin=385, ny=20)
+    table.kpoints *= 10.0           # optically thick -> convective
+    cfg = HeliosConfig(
+        planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+        R_star=30.0, T_star=30.0, T_intern=700.0,
+        scattering="yes", direct_beam="no", convection="yes",
+        kappa_value=0.1, run_type="iterative",
+        p_boa=1e9, p_toa=1e3, adapt_interval=6).finalize()
+    phys, arrays = build_model(cfg, table)
+    thermo = make_const_thermo(0.1)
+    T0 = jnp.asarray(np.linspace(1500.0, 500.0, phys.nlayer + 1))
+
+    rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t,
+                                           max_steps=60))(T0)
+    K = 100
+    run = jax.jit(lambda r: convection_loop(phys, arrays, thermo, r,
+                                            max_steps=K))
+    state = run(rad)
+    jax.block_until_ready(state.T_lay)
+    assert int(state.it) == K, f"convection exited early at {int(state.it)}"
+    t0 = time.perf_counter()
+    state = run(rad)
+    jax.block_until_ready(state.T_lay)
+    return K / (time.perf_counter() - t0)
+
+
 def bench_matrix_fluxpass():
     """Exact tridiagonal (Thomas) flux solve throughput
     (flux_calc_method=matrix, the reference's recommended exact
@@ -377,6 +417,7 @@ def main():
             ("ro_mix_ms", bench_ro_mix, "ms"),
             ("rce_iterations_per_s_on_the_fly",
              bench_rce_iterations_on_the_fly, "it/s"),
+            ("conv_iterations_per_s", bench_conv_iterations, "it/s"),
             ("fluxpass_matrix_gridcells_per_s", bench_matrix_fluxpass,
              "cells/s"),
             ("beam_zenith_ms", bench_beam_zenith, "ms")]:

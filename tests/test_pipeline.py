@@ -268,3 +268,21 @@ def test_examples_shipped_ensemble_file(tmp_path):
     out = tmp_path / "ex" / "output"
     for name in ("dark", "gray", "bright"):
         assert (out / name / f"{name}_tp.dat").exists()
+
+
+@pytest.mark.skipif(len(__import__("jax").devices()) < 4,
+                    reason="needs 4 (virtual) devices")
+def test_pipeline_padded_checkpoint_resume(tmp_path):
+    """Checkpoint + resume on the PADDED sharded path: the fingerprint
+    guards the padded model, and a converged checkpoint restores to the
+    identical profile."""
+    table = synthetic_premixed_table(nbin=21, ny=4, ntemp=12, npress=10,
+                                     seed=5)
+    kw = dict(name="pck", n_spectral_shards=4, checkpoint_every=40,
+              chunk_iters=40)
+    out = pipeline.run(small_cfg(tmp_path, **kw), table=table)
+    assert bool(jnp.all(out.rad.abort))
+    out2 = pipeline.run(small_cfg(tmp_path, **kw), table=table)
+    np.testing.assert_allclose(out2.result.T_lay, out.result.T_lay,
+                               rtol=1e-12)
+    assert out2.result.F_up_band.shape[1] == 21
