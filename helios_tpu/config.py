@@ -514,6 +514,20 @@ def parse_param_file(path: str,
 # command-line interface (the reference's ~70 argparse overrides)
 # --------------------------------------------------------------------------- #
 
+def _csv_str(s: str) -> List[str]:
+    """Comma- or space-separated list of strings (one entry per cloud deck).
+
+    The reference CL override wraps a single value in a one-element list
+    (read.py:762-787); comma splitting is a compatible superset for multi-deck
+    command lines.
+    """
+    return [v for v in s.replace(",", " ").split()]
+
+
+def _csv_float(s: str) -> List[float]:
+    return [float(v) for v in s.replace(",", " ").split()]
+
+
 _CLI_FLAGS = [
     # (flag, config field, type)
     ("-name", "name", str),
@@ -555,9 +569,25 @@ _CLI_FLAGS = [
     ("-number_of_cloud_decks", "nr_cloud_decks", int),
     ("-cloud_mixing_ratio", "cloud_mixing_ratio_source", str),
     ("-path_to_file_with_cloud_data", "cloud_file", str),
+    # per-deck cloud flags (reference read.py:762-787)
+    ("-path_to_mie_files", "mie_dirs", _csv_str),
+    ("-aerosol_name", "aerosol_names", _csv_str),
+    ("-aerosol_radius_mode", "cloud_radius_mode", _csv_float),
+    ("-aerosol_radius_geometric_std_dev", "cloud_radius_geo_std", _csv_float),
+    ("-cloud_bottom_pressure", "cloud_bottom_pressure", _csv_float),
+    ("-cloud_bottom_mixing_ratio", "cloud_bottom_mixing_ratio", _csv_float),
+    ("-cloud_to_gas_scale_height_ratio", "cloud_to_gas_scale_height", _csv_float),
     ("-coupling_mode", "coupling", str),
     ("-coupling_full_output", "coupling_full_output", str),
+    # reference spelling of the same switch (read.py:793-794)
+    ("-full_output_each_iteration_step", "coupling_full_output", str),
+    ("-force_eq_chem_for_first_iteration", "coupling_force_eq_chem", str),
+    ("-coupling_speed_up", "coupling_speed_up", str),
     ("-coupling_iteration_step", "coupling_iter_nr", int),
+    ("-write_tp_profile_during_run", "coupl_tp_write_interval", str),
+    ("-convergence_criterion", "coupl_convergence_limit", float),
+    ("-include_additional_heating", "add_heating", str),
+    ("-path_to_heating_file", "add_heating_path", str),
     ("-debugging_feedback", "debug", str),
     ("-precision", "precision", str),
     ("-number_of_layers", "nlayer", str),

@@ -174,3 +174,59 @@ def test_phoenix_missing_files_error_lists_urls(tmp_path):
     dest = tmp_path / "sub" / "out.fits"
     st.download_phoenix_file(f"file://{src}", str(dest))
     assert dest.read_bytes() == b"FITSDATA"
+
+
+def test_cli_accepts_every_reference_flag():
+    """Every `add_argument` name in the reference's read.py:214-321 must be
+    accepted by our CLI (VERDICT r3 item 4)."""
+    import re
+    from helios_tpu.config import build_arg_parser
+
+    src = open("/root/reference/source/read.py").read()
+    ref_flags = re.findall(r"parser\.add_argument\('(-[a-z0-9_]+)'", src)
+    assert len(ref_flags) > 60
+    ap = build_arg_parser()
+    ours = {s for a in ap._actions for s in a.option_strings}
+    missing = [f for f in ref_flags if f not in ours]
+    assert missing == [], f"CLI flags missing vs reference: {missing}"
+
+
+def test_cli_cloud_flags_set_deck_lists():
+    """Per-deck cloud flags land as lists (reference read.py:762-787) and the
+    coupling/heating spellings map to their config fields."""
+    from helios_tpu.config import config_from_cli
+    cfg = config_from_cli([
+        "-aerosol_name", "KCl[s]",
+        "-aerosol_radius_mode", "1.0",
+        "-aerosol_radius_geometric_std_dev", "1.5",
+        "-cloud_bottom_pressure", "1e6",
+        "-cloud_bottom_mixing_ratio", "1e-4",
+        "-cloud_to_gas_scale_height_ratio", "0.5",
+        "-path_to_mie_files", "./mie/kcl/",
+        "-include_additional_heating", "yes",
+        "-path_to_heating_file", "./heat.dat",
+        "-coupling_speed_up", "no",
+        "-force_eq_chem_for_first_iteration", "yes",
+        "-full_output_each_iteration_step", "yes",
+        "-write_tp_profile_during_run", "5",
+        "-convergence_criterion", "1e-5",
+    ], finalize=False)
+    assert cfg.aerosol_names == ["KCl[s]"]
+    assert cfg.cloud_radius_mode == [1.0]
+    assert cfg.cloud_radius_geo_std == [1.5]
+    assert cfg.cloud_bottom_pressure == [1e6]
+    assert cfg.cloud_bottom_mixing_ratio == [1e-4]
+    assert cfg.cloud_to_gas_scale_height == [0.5]
+    assert cfg.mie_dirs == ["./mie/kcl/"]
+    assert cfg.add_heating == "yes"
+    assert cfg.add_heating_path == "./heat.dat"
+    assert cfg.coupling_speed_up == "no"
+    assert cfg.coupling_force_eq_chem == "yes"
+    assert cfg.coupling_full_output == "yes"
+    assert cfg.coupl_tp_write_interval == "5"
+    assert cfg.coupl_convergence_limit == 1e-5
+    # multi-deck comma-split superset
+    cfg2 = config_from_cli(["-aerosol_name", "KCl[s],ZnS[s]",
+                            "-aerosol_radius_mode", "1.0,2.0"], finalize=False)
+    assert cfg2.aerosol_names == ["KCl[s]", "ZnS[s]"]
+    assert cfg2.cloud_radius_mode == [1.0, 2.0]
