@@ -317,11 +317,12 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
                 cache[c.opacity_path] = load_opacity_file(c.opacity_path)
             tables.append(cache[c.opacity_path])
 
-    physes, models, T0s = [], [], []
+    physes, models, T0s, cloud_results = [], [], [], []
     for cfg, table in zip(cfgs, tables):
-        phys, arrays, _clouds = pl.prepare_model(cfg, table)
+        phys, arrays, clouds_i = pl.prepare_model(cfg, table)
         physes.append(phys)
         models.append(arrays)
+        cloud_results.append(clouds_i)
         T0s.append(pl.initial_temperatures(cfg, phys, arrays))
     phys = _check_same_phys(physes)
 
@@ -498,15 +499,24 @@ def run_ensemble(cfgs: Sequence, tables: Optional[Sequence] = None,
 
         post = pl.post_process(phys, arrays, final_T, flux, F_smooth_sum,
                                sset=sset)
+        # mirror pipeline.run's end-of-run bookkeeping so a batch member
+        # writes exactly the file set a solo run writes (write.py:63-95
+        # abort/warning, write.py:434-530 cloud decks)
+        relaxed = int(float(final_limit) > phys.rad_convergence_limit * 1.5)
         result = pl.collect_result(
             cfg, phys, arrays, final_T, flux, post,
             conv_unstable=conv_unstable, conv_layer=conv_layer,
             F_smooth_sum=F_smooth_sum, kappa_lay=kappa_lay,
             c_p_lay=c_p_lay, entropy_lay=entropy_lay,
-            phase_number_lay=phase_number_lay, final_limit=final_limit)
+            phase_number_lay=phase_number_lay, relaxed=relaxed,
+            final_limit=final_limit, cloud_result=cloud_results[i])
         if write_output:
             from helios_tpu.io import writers
             writers.write_all(result)
+            aborted_i = (rad_i.aborted if conv_i is None
+                         else conv_i.aborted)
+            if bool(aborted_i):
+                writers.write_abort_file(result)
         outs.append(pl.RunOutput(phys=phys, arrays=arrays, rad=rad_i,
                                  conv=conv_i, result=result,
                                  wall_seconds=time.time() - t0))
