@@ -50,7 +50,8 @@ def _lex_gt(ah, al, bh, bl):
     return (ah > bh) | ((ah == bh) & (al > bl))
 
 
-def _bitonic_sort_refs(kh_ref, kl_ref, wh_ref, wl_ref, n_pad: int):
+def _bitonic_sort_refs(kh_ref, kl_ref, wh_ref, wl_ref, n_pad: int,
+                       skip: str = ""):
     """Ascending bitonic sort of df64 keys along the leading axis,
     permuting the df64 payload along, IN PLACE on VMEM scratch refs.
 
@@ -69,6 +70,9 @@ def _bitonic_sort_refs(kh_ref, kl_ref, wh_ref, wl_ref, n_pad: int):
     while k <= n_pad:
         j = k // 2
         while j >= 1:
+            if ("smallj" in skip and j < 8) or ("bigj" in skip and j >= 8):
+                j //= 2
+                continue
             blocks = n_pad // (2 * j)
             # ascending where (block_start & k) == 0; built from an iota
             # (Pallas kernels cannot capture host array constants)
@@ -120,7 +124,7 @@ def _cumsum_refs(ch_ref, cl_ref, n_pad: int):
 def _ro_kernel(mh_ref, ml_ref, nh_ref, nl_ref, w2h_ref, w2l_ref,
                gyh_ref, gyl_ref, oh_ref, ol_ref,
                kh_ref, kl_ref, wh_ref, wl_ref, ch_ref, cl_ref, *,
-               ny: int, n2: int, n_pad: int):
+               ny: int, n2: int, n_pad: int, skip: str = ""):
     """One cell tile: mixed/new [ny, T] df64 pairs -> rebinned [ny, T].
 
     w2h/w2l: [n_pad, 1] pairwise quadrature weights (zero-padded);
@@ -143,12 +147,19 @@ def _ro_kernel(mh_ref, ml_ref, nh_ref, nl_ref, w2h_ref, w2l_ref,
     wh_ref[:, :] = jnp.broadcast_to(w2h_ref[:, :], (n_pad, T))
     wl_ref[:, :] = jnp.broadcast_to(w2l_ref[:, :], (n_pad, T))
 
-    _bitonic_sort_refs(kh_ref, kl_ref, wh_ref, wl_ref, n_pad)
+    if "sort" not in skip:
+        _bitonic_sort_refs(kh_ref, kl_ref, wh_ref, wl_ref, n_pad,
+                           skip=skip)
 
     # ch/cl := yg = cumsum(w) - w/2
     ch_ref[:, :] = wh_ref[:, :]
     cl_ref[:, :] = wl_ref[:, :]
-    _cumsum_refs(ch_ref, cl_ref, n_pad)
+    if "cumsum" not in skip:
+        _cumsum_refs(ch_ref, cl_ref, n_pad)
+    if "rebin" in skip:
+        oh_ref[:, :] = kh_ref[:ny, :]
+        ol_ref[:, :] = kl_ref[:ny, :]
+        return
     w_half = df64.scale(DF(wh_ref[:, :], wl_ref[:, :]), np.float32(0.5))
     yg_v = df64.sub(DF(ch_ref[:, :], cl_ref[:, :]), w_half)
     ch_ref[:, :] = yg_v.hi
@@ -211,9 +222,10 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@partial(jax.jit, static_argnames=("tile_c",))
+@partial(jax.jit, static_argnames=("tile_c", "skip"))
 def random_overlap_mix_pallas(mixed_opac, new_opac, gauss_weight,
-                              gauss_y, *, tile_c: int = 256):
+                              gauss_y, *, tile_c: int = 256,
+                              skip: str = ""):
     """Drop-in fused replacement for ops.mixing.random_overlap_mix.
 
     mixed_opac, new_opac: [..., ny] fp64 (ascending in y).
@@ -253,7 +265,7 @@ def random_overlap_mix_pallas(mixed_opac, new_opac, gauss_weight,
 
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
-            partial(_ro_kernel, ny=ny, n2=n2, n_pad=n_pad),
+            partial(_ro_kernel, ny=ny, n2=n2, n_pad=n_pad, skip=skip),
             grid=(n_tiles,),
             in_specs=[cell_spec, cell_spec, cell_spec, cell_spec,
                       w2_spec, w2_spec, gy_spec, gy_spec],

@@ -153,15 +153,27 @@ def _noniso_sweep_kernel(au_ref, bu_ref, sud_ref, suu_ref,
                          al_ref, bl_ref, sld_ref, slu_ref,
                          toa_ref, refl_ref, emis_ref, fdir0_ref,
                          fup_prev_ref, fcup_prev_ref,
-                         fdown_ref, fup_ref, fcdown_ref, fcup_ref, *,
+                         fdown_ref, fup_ref, fcdown_ref, fcup_ref,
+                         aa_ref, s1_ref, ss_ref, *,
                          nlayer: int, n_passes: int):
     """fp32 fused non-isothermal flux solve (fband_noniso,
-    kernels.cu:1521-1800): half-layer resolution, two chained fmas per
-    sequential step (upper then lower half).
+    kernels.cu:1521-1800): half-layer resolution.
+
+    The two chained half-layer recurrences per layer
+        Fc_down[i] = au[i] F_down[i+1] + (bu[i] Fc_up[i] + sud[i])
+        F_down[i]  = al[i] Fc_down[i]  + (bl[i] F_up[i]  + sld[i])
+    are algebraically flattened into ONE full-layer recurrence
+        F_down[i] = (al au)[i] F_down[i+1] + (al[i] s1[i] + s2[i])
+    so the latency-bound sequential chain costs exactly one fma per layer
+    (same as the iso kernel); the half-layer fluxes are recovered with a
+    vectorized fma afterwards (Fc_down = au * F_down[1:] + s1).  The up
+    sweep flattens symmetrically.
 
     au/bu/sud/suu: upper-half recurrence coeffs + sources [L, S];
     al/bl/sld/slu: lower half; boundaries [1, S];
     fup_prev [L+1, S], fcup_prev [L, S].
+    aa/s1/ss: [L, S] VMEM scratch (flattened coeff al*au, staged
+    half-layer source, flattened source).
     """
     L = nlayer
 
@@ -169,38 +181,40 @@ def _noniso_sweep_kernel(au_ref, bu_ref, sud_ref, suu_ref,
     fcup_ref[:] = fcup_prev_ref[:]
     toa = toa_ref[0, :]
     fdown_ref[L, :] = toa
+    aa_ref[:] = al_ref[:, :] * au_ref[:, :]
 
     def one_pass(p, _):
-        # downward: Fc_down[i] = au[i] F_down[i+1] + bu[i] Fc_up[i] + sud[i]
-        #           F_down[i]  = al[i] Fc_down[i]  + bl[i] F_up[i]  + sld[i]
+        # staged sources: s1 = upper-half, ss = flattened full-layer
+        s1_ref[:] = bu_ref[:, :] * fcup_ref[:, :] + sud_ref[:, :]
+        ss_ref[:] = (al_ref[:, :] * s1_ref[:, :]
+                     + (bl_ref[:, :] * fup_ref[:L, :] + sld_ref[:, :]))
+
         def down_step(k, carry):
             i = jnp.int32(L - 1) - k
-            fc = (au_ref[i, :] * carry + bu_ref[i, :] * fcup_ref[i, :]
-                  + sud_ref[i, :])
-            fcdown_ref[i, :] = fc
-            f = (al_ref[i, :] * fc + bl_ref[i, :] * fup_ref[i, :]
-                 + sld_ref[i, :])
+            f = aa_ref[i, :] * carry + ss_ref[i, :]
             fdown_ref[i, :] = f
             return f
 
         jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
+        fcdown_ref[:] = (au_ref[:, :] * fdown_ref[1:, :] + s1_ref[:, :])
 
         boa = (refl_ref[0, :] * (fdir0_ref[0, :] + fdown_ref[0, :])
                + emis_ref[0, :])
         fup_ref[0, :] = boa
 
-        # upward: Fc_up[i] = al[i] F_up[i] + bl[i] Fc_down[i] + slu[i]
-        #         F_up[i+1] = au[i] Fc_up[i] + bu[i] F_down[i+1] + suu[i]
+        # upward: Fc_up[i] = al[i] F_up[i] + (bl[i] Fc_down[i] + slu[i])
+        #         F_up[i+1] = au[i] Fc_up[i] + (bu[i] F_down[i+1] + suu[i])
+        s1_ref[:] = bl_ref[:, :] * fcdown_ref[:, :] + slu_ref[:, :]
+        ss_ref[:] = (au_ref[:, :] * s1_ref[:, :]
+                     + (bu_ref[:, :] * fdown_ref[1:, :] + suu_ref[:, :]))
+
         def up_step(i, carry):
-            fc = (al_ref[i, :] * carry + bl_ref[i, :] * fcdown_ref[i, :]
-                  + slu_ref[i, :])
-            fcup_ref[i, :] = fc
-            f = (au_ref[i, :] * fc + bu_ref[i, :] * fdown_ref[i + 1, :]
-                 + suu_ref[i, :])
+            f = aa_ref[i, :] * carry + ss_ref[i, :]
             fup_ref[i + 1, :] = f
             return f
 
         jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
+        fcup_ref[:] = al_ref[:, :] * fup_ref[:L, :] + s1_ref[:, :]
         return np.int32(0)
 
     jax.lax.fori_loop(np.int32(0), np.int32(n_passes), one_pass,
@@ -218,14 +232,21 @@ def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
                               fdownh_ref, fdownl_ref, fuph_ref, fupl_ref,
                               fcdownh_ref, fcdownl_ref, fcuph_ref,
                               fcupl_ref, s1h_ref, s1l_ref, s2h_ref,
-                              s2l_ref, *, nlayer: int, n_passes: int):
+                              s2l_ref, aah_ref, aal_ref, *, nlayer: int,
+                              n_passes: int):
     """df64 fused non-isothermal flux solve (fband_noniso,
-    kernels.cu:1521-1800): half-layer resolution, so each sequential step
-    chains two df64 fmas (upper then lower half).
+    kernels.cu:1521-1800): half-layer resolution.
 
-    Per pass the vectorized sources b*F + s for both halves are staged in
-    VMEM scratch (s1 = upper-half source, s2 = lower-half source), then
-    the downward and upward recursions run one layer at a time.
+    The two chained half-layer df64 fmas per sequential step are
+    algebraically flattened into ONE full-layer recurrence (see
+    _noniso_sweep_kernel): the latency-bound chain costs one df64 fma
+    per layer, the same as the iso kernel, and the half-layer fluxes are
+    recovered with vectorized fmas after each sweep.  The flattening
+    reassociates two rounding steps (~1 df64 ulp, ~1e-30 relative) --
+    far below the 1e-13 parity bound vs the fp64 oracle.
+
+    Scratch: s1 = staged half-layer source pair, s2 = flattened source
+    pair, aa = al*au pair (constant across passes).
     """
     from helios_tpu.ops import df64
 
@@ -240,8 +261,14 @@ def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
     fdownh_ref[L, :] = toa.hi
     fdownl_ref[L, :] = toa.lo
 
+    aa = df64.mul(DF(alh_ref[:, :], all_ref[:, :]),
+                  DF(auh_ref[:, :], aul_ref[:, :]))
+    aah_ref[:] = aa.hi
+    aal_ref[:] = aa.lo
+
     def one_pass(p, _):
-        # down-sweep sources: upper half uses Fc_up, lower half F_up
+        # down sweep: s1 = bu*Fc_up + sud (upper half),
+        # flattened source ss = al*s1 + (bl*F_up + sld)
         s1 = df64.fma(DF(buh_ref[:, :], bul_ref[:, :]),
                       DF(fcuph_ref[:, :], fcupl_ref[:, :]),
                       DF(sudh_ref[:, :], sudl_ref[:, :]))
@@ -250,22 +277,26 @@ def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
         s2 = df64.fma(DF(blh_ref[:, :], bll_ref[:, :]),
                       DF(fuph_ref[:L, :], fupl_ref[:L, :]),
                       DF(sldh_ref[:, :], sldl_ref[:, :]))
-        s2h_ref[:] = s2.hi
-        s2l_ref[:] = s2.lo
+        ss = df64.fma(DF(alh_ref[:, :], all_ref[:, :]), s1, s2)
+        s2h_ref[:] = ss.hi
+        s2l_ref[:] = ss.lo
 
         def down_step(k, carry):
             i = jnp.int32(L - 1) - k
-            fc = df64.fma(DF(auh_ref[i, :], aul_ref[i, :]), carry,
-                          DF(s1h_ref[i, :], s1l_ref[i, :]))
-            fcdownh_ref[i, :] = fc.hi
-            fcdownl_ref[i, :] = fc.lo
-            f = df64.fma(DF(alh_ref[i, :], all_ref[i, :]), fc,
+            f = df64.fma(DF(aah_ref[i, :], aal_ref[i, :]), carry,
                          DF(s2h_ref[i, :], s2l_ref[i, :]))
             fdownh_ref[i, :] = f.hi
             fdownl_ref[i, :] = f.lo
             return f
 
         jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
+
+        # vectorized half-layer recovery: Fc_down = au*F_down[1:] + s1
+        fcd = df64.fma(DF(auh_ref[:, :], aul_ref[:, :]),
+                       DF(fdownh_ref[1:, :], fdownl_ref[1:, :]),
+                       DF(s1h_ref[:, :], s1l_ref[:, :]))
+        fcdownh_ref[:] = fcd.hi
+        fcdownl_ref[:] = fcd.lo
 
         boa = df64.fma(
             DF(reflh_ref[0, :], refll_ref[0, :]),
@@ -275,7 +306,8 @@ def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
         fuph_ref[0, :] = boa.hi
         fupl_ref[0, :] = boa.lo
 
-        # up-sweep sources: lower half uses Fc_down, upper half F_down
+        # up sweep: s1u = bl*Fc_down + slu (lower half),
+        # flattened source ssu = au*s1u + (bu*F_down[1:] + suu)
         s1u = df64.fma(DF(blh_ref[:, :], bll_ref[:, :]),
                        DF(fcdownh_ref[:, :], fcdownl_ref[:, :]),
                        DF(sluh_ref[:, :], slul_ref[:, :]))
@@ -284,21 +316,25 @@ def _noniso_sweep_kernel_df64(auh_ref, aul_ref, buh_ref, bul_ref,
         s2u = df64.fma(DF(buh_ref[:, :], bul_ref[:, :]),
                        DF(fdownh_ref[1:, :], fdownl_ref[1:, :]),
                        DF(suuh_ref[:, :], suul_ref[:, :]))
-        s2h_ref[:] = s2u.hi
-        s2l_ref[:] = s2u.lo
+        ssu = df64.fma(DF(auh_ref[:, :], aul_ref[:, :]), s1u, s2u)
+        s2h_ref[:] = ssu.hi
+        s2l_ref[:] = ssu.lo
 
         def up_step(i, carry):
-            fc = df64.fma(DF(alh_ref[i, :], all_ref[i, :]), carry,
-                          DF(s1h_ref[i, :], s1l_ref[i, :]))
-            fcuph_ref[i, :] = fc.hi
-            fcupl_ref[i, :] = fc.lo
-            f = df64.fma(DF(auh_ref[i, :], aul_ref[i, :]), fc,
+            f = df64.fma(DF(aah_ref[i, :], aal_ref[i, :]), carry,
                          DF(s2h_ref[i, :], s2l_ref[i, :]))
             fuph_ref[i + 1, :] = f.hi
             fupl_ref[i + 1, :] = f.lo
             return f
 
         jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
+
+        # vectorized half-layer recovery: Fc_up = al*F_up[:L] + s1u
+        fcu = df64.fma(DF(alh_ref[:, :], all_ref[:, :]),
+                       DF(fuph_ref[:L, :], fupl_ref[:L, :]),
+                       DF(s1h_ref[:, :], s1l_ref[:, :]))
+        fcuph_ref[:] = fcu.hi
+        fcupl_ref[:] = fcu.lo
         return np.int32(0)
 
     jax.lax.fori_loop(np.int32(0), np.int32(n_passes), one_pass,
@@ -500,6 +536,7 @@ def fused_noniso_sweep(a_up, b_up, src_up_down, src_up_up, a_low, b_low,
                        jax.ShapeDtypeStruct((L + 1, s_pad), dtype),
                        jax.ShapeDtypeStruct((L, s_pad), dtype),
                        jax.ShapeDtypeStruct((L, s_pad), dtype)),
+            scratch_shapes=[pltpu.VMEM((L, tile_s), dtype)] * 3,
             interpret=_use_interpret(),
         )(*ins)
 
@@ -585,7 +622,7 @@ def fused_noniso_sweep_df64_pairs(a_up, b_up, src_up_down, src_up_up,
             out_shape=(
                 (jax.ShapeDtypeStruct((L + 1, s_pad), f32),) * 4
                 + (jax.ShapeDtypeStruct((L, s_pad), f32),) * 4),
-            scratch_shapes=[pltpu.VMEM((L, tile_s), f32)] * 4,
+            scratch_shapes=[pltpu.VMEM((L, tile_s), f32)] * 6,
             interpret=_use_interpret(),
         )(*ins)
 

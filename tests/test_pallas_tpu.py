@@ -76,6 +76,83 @@ def test_compiled_random_overlap():
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+def _random_noniso_coeffs(rng, L, S, dtype):
+    """Contraction-stable random FlatNonIsoCoeffs (|a|,|b| < 0.5 keeps the
+    4-pass iteration bounded); parity target is the lax.scan path."""
+    from helios_tpu.fastpath import FlatNonIsoCoeffs
+
+    u = lambda lo, hi, shape: jnp.asarray(
+        rng.uniform(lo, hi, shape).astype(dtype))
+    return FlatNonIsoCoeffs(
+        a_up=u(0.1, 0.45, (L, S)), b_up=u(0.0, 0.4, (L, S)),
+        src_up_down=u(-1e2, 1e3, (L, S)), src_up_up=u(-1e2, 1e3, (L, S)),
+        a_low=u(0.1, 0.45, (L, S)), b_low=u(0.0, 0.4, (L, S)),
+        src_low_down=u(-1e2, 1e3, (L, S)), src_low_up=u(-1e2, 1e3, (L, S)),
+        boa_refl=u(0.0, 0.5, (S,)), boa_emis=u(0.0, 1e3, (S,)),
+        toa=u(0.0, 1e3, (S,)))
+
+
+@pytest.mark.tpu
+@tpu_only
+@pytest.mark.parametrize("dtype,S,rtol", [
+    (np.float64, 512, 5e-11),     # df64 kernel, aligned tiles
+    (np.float64, 500, 5e-11),     # padded tile (S=500 -> s_pad=512)
+    (np.float32, 2048 + 384, 2e-4),  # fp32 kernel, padded tile
+])
+def test_compiled_noniso_sweep(dtype, S, rtol):
+    """The production-default (non-isothermal) fused kernels on compiled
+    Mosaic, incl. padded-tile shapes (VERDICT r3 item 5)."""
+    from helios_tpu import fastpath as fp
+
+    rng = np.random.default_rng(11)
+    L = 105
+    C = _random_noniso_coeffs(rng, L, S, dtype)
+    F_dir0 = jnp.asarray(-rng.uniform(0, 1e3, S).astype(dtype))
+    F_up_prev = jnp.asarray(rng.uniform(0, 1e3, (L + 1, S)).astype(dtype))
+    Fc_up_prev = jnp.asarray(rng.uniform(0, 1e3, (L, S)).astype(dtype))
+
+    want = fp.fband_noniso_flat(C, F_dir0, F_up_prev, Fc_up_prev,
+                                n_passes=4, use_pallas=False)
+    got = fp.fband_noniso_flat(C, F_dir0, F_up_prev, Fc_up_prev,
+                               n_passes=4, use_pallas=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=rtol, atol=1e-8)
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_compiled_iso_sweep_padded_tile():
+    """Padded-tile iso df64 case: S=7700 (the flagship 385x20 grid) is not
+    a multiple of the 512-lane tile; pad boundaries must not leak."""
+    from helios_tpu.kernels.sweep_pallas import (fused_iso_sweep_df64,
+                                                 fused_iso_sweep)
+
+    rng = np.random.default_rng(13)
+    L, S = 105, 7700
+    mk = lambda lo, hi, shape: jnp.asarray(rng.uniform(lo, hi, shape))
+    a = mk(0.1, 0.45, (L, S))
+    b = mk(0.0, 0.4, (L, S))
+    sd = mk(-1e2, 1e3, (L, S))
+    su = mk(-1e2, 1e3, (L, S))
+    toa = mk(0, 1e3, (S,))
+    refl = mk(0, 0.5, (S,))
+    emis = mk(0, 1e3, (S,))
+    fdir0 = -mk(0, 1e3, (S,))
+    fup0 = mk(0, 1e3, (L + 1, S))
+
+    got = fused_iso_sweep_df64(a, b, sd, su, toa, refl, emis, fdir0,
+                               fup0, n_passes=4)
+    # oracle: the same solve on an aligned lane-width slice of the data
+    want = fused_iso_sweep_df64(a[:, :512], b[:, :512], sd[:, :512],
+                                su[:, :512], toa[:512], refl[:512],
+                                emis[:512], fdir0[:512], fup0[:, :512],
+                                n_passes=4)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[:, :512], np.asarray(w),
+                                   rtol=1e-12)
+
+
 @pytest.mark.tpu
 @tpu_only
 def test_compiled_thomas_solve():
@@ -93,9 +170,20 @@ def test_compiled_thomas_solve():
 
 
 if __name__ == "__main__":
-    # standalone TPU runner (bypasses conftest's CPU pin)
+    # standalone TPU runner (bypasses conftest's CPU pin); persistent
+    # compilation cache (same setup as bench.py) -- a cold run spends
+    # >10 min in Mosaic compiles otherwise
+    import os
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     jax.config.update("jax_enable_x64", True)
     test_compiled_iso_sweep_df64()
     test_compiled_random_overlap()
     test_compiled_thomas_solve()
+    test_compiled_noniso_sweep(np.float64, 512, 5e-11)
+    test_compiled_noniso_sweep(np.float64, 500, 5e-11)
+    test_compiled_noniso_sweep(np.float32, 2048 + 384, 2e-4)
+    test_compiled_iso_sweep_padded_tile()
     print("compiled-Mosaic parity OK on", jax.devices())

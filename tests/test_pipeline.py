@@ -231,6 +231,29 @@ def test_pipeline_sharded_real_385bin_workload(tmp_path):
                                out1.result.F_up_band[6], rtol=1e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(len(__import__("jax").devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_pipeline_sharded_flagship_S7700(tmp_path):
+    """The FULL flagship spectral width S = 385 bins x 20 y-points = 7700,
+    sharded over 8 devices: 385/8 pads to 392 bins (49/chip), and the
+    per-chip S = 49*20 = 980 is not lane-tile aligned -- this pins the
+    padding/sharding/tile interaction at the real production shape
+    (VERDICT r3 item 5; capped iterations keep the CPU mesh fast)."""
+    table = synthetic_premixed_table(nbin=385, ny=20, ntemp=6, npress=6,
+                                     seed=9)
+    kw = dict(nlayer=6, rad_convergence_limit=1e-4)
+    out1 = pipeline.run(small_cfg(tmp_path, name="f1", **kw), table=table)
+    out8 = pipeline.run(small_cfg(tmp_path, name="f8",
+                                  n_spectral_shards=8, **kw), table=table)
+    assert bool(jnp.all(out8.rad.abort))
+    np.testing.assert_allclose(out8.result.T_lay, out1.result.T_lay,
+                               rtol=1e-6)
+    assert out8.result.F_up_band.shape[1] == 385
+    np.testing.assert_allclose(out8.result.F_up_band[6],
+                               out1.result.F_up_band[6], rtol=1e-5)
+
+
 def test_examples_quickstart_end_to_end(tmp_path):
     """The shipped first-run path (docs/tutorial.md section 1): generate
     example inputs, run the CLI against the generated param.dat."""
