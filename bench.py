@@ -121,6 +121,73 @@ def bench_rce_iterations():
     return K / dt
 
 
+def bench_rce_iterations_noniso():
+    """Production-DEFAULT RCE iteration rate: the reference's iterative
+    run_type sets iso=0 (read.py:888-895), i.e. the non-isothermal
+    half-layer scheme is what a standard HELIOS run executes every
+    iteration.  Same loop as rce_iterations_per_s but with the noniso
+    sweep kernels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.rce.radiative import radiation_loop
+
+    phys, arrays = _workload(iso=False)
+    T0 = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    K = 150
+
+    run = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
+                                           max_steps=K))
+    state = run(T0)
+    jax.block_until_ready(state.T_lay)
+    assert int(state.it) == K
+    t0 = time.perf_counter()
+    state = run(T0)
+    jax.block_until_ready(state.T_lay)
+    return K / (time.perf_counter() - t0)
+
+
+def bench_conv_iterations_noniso():
+    """Convective-phase iteration rate in the production-default
+    non-isothermal mode (flux solve + convective adjustment +
+    conv_temp step, computation.py:992-1174 with iso=0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.config import HeliosConfig
+    from helios_tpu.forward import build_model
+    from helios_tpu.io.opacity import synthetic_premixed_table
+    from helios_tpu.rce.loop import convection_loop
+    from helios_tpu.rce.radiative import make_const_thermo, radiation_loop
+
+    table = synthetic_premixed_table(nbin=385, ny=20)
+    table.kpoints *= 10.0           # optically thick -> convective
+    cfg = HeliosConfig(
+        planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
+        R_star=30.0, T_star=30.0, T_intern=700.0,
+        scattering="yes", direct_beam="no", convection="yes",
+        kappa_value=0.1, run_type="iterative", iso_input="no",
+        p_boa=1e9, p_toa=1e3, adapt_interval=6).finalize()
+    phys, arrays = build_model(cfg, table)
+    thermo = make_const_thermo(0.1)
+    T0 = jnp.asarray(np.linspace(1500.0, 500.0, phys.nlayer + 1))
+
+    rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t,
+                                           max_steps=60))(T0)
+    K = 100
+    run = jax.jit(lambda r: convection_loop(phys, arrays, thermo, r,
+                                            max_steps=K))
+    state = run(rad)
+    jax.block_until_ready(state.T_lay)
+    assert int(state.it) == K, f"convection exited early at {int(state.it)}"
+    t0 = time.perf_counter()
+    state = run(rad)
+    jax.block_until_ready(state.T_lay)
+    return K / (time.perf_counter() - t0)
+
+
 def bench_ro_mix():
     """One on-the-fly Random Overlap mixing pass (2 absorbers, 105
     layers x 385 bins x 20 y)."""
@@ -414,6 +481,10 @@ def main():
                           "error": str(e)[:200]}), flush=True)
 
     for name, fn, unit in [
+            ("rce_iterations_per_s_noniso", bench_rce_iterations_noniso,
+             "it/s"),
+            ("conv_iterations_per_s_noniso", bench_conv_iterations_noniso,
+             "it/s"),
             ("ro_mix_ms", bench_ro_mix, "ms"),
             ("rce_iterations_per_s_on_the_fly",
              bench_rce_iterations_on_the_fly, "it/s"),
