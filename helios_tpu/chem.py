@@ -298,17 +298,25 @@ def build_species_set(specs: Sequence[SpeciesSpec], *,
                       vmr_file_table: dict = None,
                       vmr_file_press: np.ndarray = None,
                       fastchem_dir: str = None,
+                      fastchem_data: tuple = None,
                       p_lay=None, p_int=None,
                       dtype=np.float64) -> SpeciesSet:
     """Assemble the device data for a species list.
 
     opacity_tables: name -> [ntemp, npress, nbin, ny] arrays.
     scat_tables: name -> [nbin] Rayleigh cross sections.
+    fastchem_data: pre-loaded (data, temps, press_cgs) triple in the
+        `load_fastchem_table` convention -- e.g. from
+        `chem_analytic.as_fastchem_table` -- used instead of reading
+        chem.dat from ``fastchem_dir``.
     """
     ntemp, npress = len(ktemps), len(kpress)
     fc = None
     if any(s.source_for_vmr == "FastChem" for s in specs):
-        fc_data, fc_temps, fc_press = load_fastchem_table(fastchem_dir)
+        if fastchem_data is not None:
+            fc_data, fc_temps, fc_press = fastchem_data
+        else:
+            fc_data, fc_temps, fc_press = load_fastchem_table(fastchem_dir)
 
     data = []
     for spec in specs:
