@@ -96,6 +96,8 @@ class MixSpecies:
     fc_name: str = None
 
     def __post_init__(self):
+        if self.weight is not None:
+            return          # explicit weight: tabulated pseudo-species
         info = sdb.SPECIES.get(self.name)
         if info is None:
             raise IOError(f"Species {self.name!r} not in the database.")
