@@ -39,10 +39,21 @@ DESCRIPTIONS = {
         "(exact Thomas solve, Pallas df64)",
     "beam_zenith_ms": "(zenith-corrected direct beam)",
     "sharding_equality_max_rel": "(8-device mesh == single device)",
-    "fluxpass_hbm_utilization":
-        "(measured HBM traffic of the iso flux pass vs ~819 GB/s v5e peak)",
-    "sweep_vpu_utilization":
-        "(df64 sweep kernel flops vs VPU peak, roofline model in bench.py)",
+    "conv_iterations_per_s_noniso":
+        "(non-isothermal convective phase: flux solve + device-side "
+        "adjustment)",
+    "vpu_fma_peak_measured":
+        "(measured VPU fma ceiling: 64 independent VMEM-resident chains)",
+    "hbm_bw_measured": "(measured HBM streaming ceiling, read+write)",
+    "sweep_iso_solve_ms": "(isolated fused df64 iso sweep, 4 passes)",
+    "sweep_iso_vpu_pct":
+        "(iso sweep modeled VPU instructions vs measured ceiling)",
+    "sweep_noniso_solve_ms":
+        "(isolated fused df64 noniso sweep, 4 passes)",
+    "sweep_noniso_vpu_pct":
+        "(noniso sweep modeled VPU instructions vs measured ceiling)",
+    "ro_mix_vpu_pct":
+        "(Random-Overlap kernel modeled VPU instructions vs ceiling)",
 }
 
 
@@ -57,6 +68,12 @@ def _fmt(metric: str, value: float, unit: str, vs_baseline=None) -> str:
         s = f"{value:g}"
     elif unit in ("frac", "fraction"):
         s = f"{100.0 * value:.0f}% of peak"
+    elif unit == "%":
+        s = f"{value:.0f}% of measured peak"
+    elif unit == "Gop/s":
+        s = f"{value / 1e3:.2f} Top/s"
+    elif unit == "GB/s":
+        s = f"{value:.0f} GB/s"
     else:
         s = f"{value:g} {unit}"
     if vs_baseline:
