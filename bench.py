@@ -408,6 +408,287 @@ def bench_beam_zenith():
     return (time.perf_counter() - t0) / K * 1e3
 
 
+# --------------------------------------------------------------------------- #
+# roofline: measured hardware ceilings + analytic kernel cost models
+# --------------------------------------------------------------------------- #
+#
+# The self-baseline (BASELINE_CELLS_PER_S) says how much faster the build
+# got; these metrics say how close the hot kernels sit to what the chip
+# can do AT ALL.  Ceilings are MEASURED on the same chip (no spec-sheet
+# constants):
+#
+#   * fp32 fma issue rate (Pallas VMEM-resident chain, 512-vreg ILP);
+#   * df64 fma rate -- the EXACT primitive of the sweep kernels
+#     (ops.df64.fma on hi/lo pairs), so sweep utilization = (exact df64
+#     fma count) / time / ceiling with no instruction-count modeling;
+#   * HBM streaming bandwidth (20 chained full-array passes).
+#
+# The RO kernel is heterogeneous (int32 bitonic stages + df64 cumsum/
+# rebin); its utilization uses an approximate per-element instruction
+# model (documented in _ro_model_instr, with df64 op costs from
+# ops/df64.py: two_prod 13, mul 19, add 11, fma 30 fp32 ALU ops) against
+# the fp32 issue ceiling.
+#
+# Arithmetic intensity of the sweep kernels (16 df64 fma / 56 B per cell
+# iso, 41 / 112 noniso) puts both far above the machine balance
+# (measured df64-fma/s / HBM B/s ~ 0.1 fma/B), i.e. they are
+# compute-bound: HBM is not the binding wall.
+
+def _vpu_peak():
+    """Measured VPU fp32 fma throughput [lane-ops/s]: 512 independent
+    vreg chains of x = a*x + b resident in VMEM (enough ILP to hide the
+    fma latency; the loop overhead is amortized over 512 vreg-ops per
+    iteration)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    reps, shape = 2000, (512, 1024)
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = a_ref[:, :]
+        b = b_ref[:, :]
+        o_ref[:, :] = jax.lax.fori_loop(
+            np.int32(0), np.int32(reps), lambda i, x: a * x + b, b)
+
+    a = jnp.full(shape, np.float32(0.9999999))
+    b = jnp.full(shape, np.float32(1e-7))
+    with jax.enable_x64(False):
+        f = jax.jit(lambda a, b: pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, b))
+    f(a, b).block_until_ready()
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(a, b)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return shape[0] * shape[1] * reps / dt
+
+
+def _vpu_df64_fma_peak():
+    """Measured df64-fma throughput [df64 fma/s]: the EXACT primitive of
+    the sweep kernels (ops.df64.fma on hi/lo fp32 pairs), as 256
+    independent VMEM-resident chains.  Sweep utilization measured
+    against this ceiling needs no instruction-count model at all."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from helios_tpu.ops import df64
+
+    reps, shape = 600, (128, 1024)   # 128 vreg chains; fits scoped VMEM
+
+    def kernel(ah_ref, al_ref, bh_ref, bl_ref, oh_ref, ol_ref):
+        a = df64.DF(ah_ref[:, :], al_ref[:, :])
+        b = df64.DF(bh_ref[:, :], bl_ref[:, :])
+
+        def body(i, x):
+            r = df64.fma(a, df64.DF(x[0], x[1]), b)
+            return (r.hi, r.lo)
+
+        h, l = jax.lax.fori_loop(np.int32(0), np.int32(reps), body,
+                                 (bh_ref[:, :], bl_ref[:, :]))
+        oh_ref[:, :] = h
+        ol_ref[:, :] = l
+
+    a = jnp.full(shape, np.float32(0.9999999))
+    z = jnp.full(shape, np.float32(1e-9))
+    b = jnp.full(shape, np.float32(1e-7))
+    with jax.enable_x64(False):
+        f = jax.jit(lambda a, z, b: pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),) * 2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        )(a, z, b, z))
+    jax.block_until_ready(f(a, z, b))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(a, z, b)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / iters
+    return shape[0] * shape[1] * reps / dt
+
+
+def _hbm_bw():
+    """Measured HBM streaming bandwidth [B/s]: 20 chained elementwise
+    passes over 128 MB inside one dispatch (each while-loop iteration
+    reads + writes the full array; XLA cannot fuse across iterations)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 32 * 1024 * 1024
+    reps = 20
+    x = jnp.ones(n, jnp.float32)
+    f = jax.jit(lambda x: jax.lax.fori_loop(
+        0, reps,
+        lambda i, y: y * np.float32(1.0000001) + np.float32(1e-6), x))
+    f(x).block_until_ready()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(x)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n * 4 * reps / dt
+
+
+_DF_MUL, _DF_ADD = 19, 11     # fp32 ALU ops per df64 op (ops/df64.py)
+
+
+def _time_chained(f, x0, K, n_rep=5):
+    import jax
+    out = f(x0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = f(out)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (n_rep * K)
+
+
+def _bench_sweep_kernel(iso: bool):
+    """Isolated fused df64 sweep solve on the production shape; returns
+    (seconds per solve, modeled VPU instructions per solve)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.kernels.sweep_pallas import (
+        fused_iso_sweep_df64_pairs, fused_noniso_sweep_df64_pairs)
+    from helios_tpu.ops import df64
+
+    L, S, P = 105, 385 * 20, 4
+    rng = np.random.default_rng(0)
+
+    def df(shape, lo_, hi_):
+        return df64.split(jnp.asarray(rng.uniform(lo_, hi_, shape)))
+
+    a = df((L, S), 0.3, 0.8)
+    b = df((L, S), 0.0, 0.1)
+    sd = df((L, S), 0.0, 1e3)
+    su = df((L, S), 0.0, 1e3)
+    toa = df((S,), 0.0, 1e3)
+    refl = df((S,), 0.0, 0.3)
+    emis = df((S,), 0.0, 1e4)
+    fdir0 = df((S,), 0.0, 1e3)
+    fup0 = df((L + 1, S), 0.0, 1e4)
+    K = 30
+
+    if iso:
+        @jax.jit
+        def run(fup):
+            def body(_, fup):
+                fd, fu = fused_iso_sweep_df64_pairs(
+                    a, b, sd, su, toa, refl, emis, fdir0, fup,
+                    n_passes=P)
+                return fu
+            return jax.lax.fori_loop(0, K, body, fup)
+        dt = _time_chained(run, fup0, K)
+        # per pass per cell: 2x (vectorized source fma + sequential fma)
+        instr = L * S * P * 4
+    else:
+        al = df((L, S), 0.3, 0.8)
+        bl = df((L, S), 0.0, 0.1)
+        sld = df((L, S), 0.0, 1e3)
+        slu = df((L, S), 0.0, 1e3)
+        fcup0 = df((L, S), 0.0, 1e4)
+
+        @jax.jit
+        def run(carry):
+            def body(_, carry):
+                fup, fcup = carry
+                fd, fu, fcd, fcu = fused_noniso_sweep_df64_pairs(
+                    a, b, sd, su, al, bl, sld, slu, toa, refl, emis,
+                    fdir0, fup, fcup, n_passes=P)
+                return fu, fcu
+            return jax.lax.fori_loop(0, K, body, carry)
+        dt = _time_chained(run, (fup0, fcup0), K)
+        # per pass per cell: down s1+s2+flatten+seq+recover fmas = 5,
+        # up the same = 10 fma; plus the one-time aa pair product
+        instr = L * S * (P * 10 + 1)
+    return dt, instr
+
+
+def _ro_model_instr():
+    """Modeled VPU instructions of one Random Overlap mixing pass
+    (kernels/ro_pallas.py) at the production shape."""
+    L, B, ny = 105, 385, 20
+    cells = L * B
+    n_pad, stages_skipped = 512, 10
+    n_stages = 45 - stages_skipped
+    gen = n_pad * (_DF_ADD + 8)           # pair sums + key packing
+    # per stage per element: 2 rolls + 1 direction select x 2 arrays
+    # + lex compare 5 + direction mask 3 + take-combine 3 + 2 selects
+    sort = n_stages * n_pad * 19
+    cumsum = 9 * n_pad * (_DF_ADD + 2)
+    # weight reconstruction (2 onehot lookups x ny rows) + rebin
+    # (ny nodes x (df64 lt + masked sums)) + interpolation
+    recon = 2 * ny * n_pad * 2 + n_pad * (2 + _DF_MUL)
+    rebin = ny * n_pad * (4 + 6) + 2 * ny * (ny * 4 + n_pad * 2)
+    interp = ny * (3 * _DF_MUL + 2 * _DF_ADD + 40)
+    return cells * (gen + sort + cumsum + recon + rebin + interp)
+
+
+def bench_roofline():
+    """Measured ceilings + per-kernel utilization; returns a list of
+    (metric, value, unit) tuples."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return [("roofline_skipped_no_tpu", 1, "flag")]
+
+    out = []
+
+    def attempt(fn, *names):
+        try:
+            vals = fn()
+        except Exception as e:
+            print(json.dumps({"metric": names[0][0],
+                              "error": str(e)[:200]}), flush=True)
+            return [None] * len(names)
+        vals = vals if isinstance(vals, tuple) else (vals,)
+        for (name, unit), v in zip(names, vals):
+            if v is not None:
+                out.append((name, v, unit))
+        return list(vals)
+
+    (vpu,) = attempt(lambda: round(_vpu_peak() / 1e9, 1),
+                     ("vpu_fma_peak_measured", "Gop/s"))
+    (df64_peak,) = attempt(lambda: round(_vpu_df64_fma_peak() / 1e9, 2),
+                           ("vpu_df64_fma_peak_measured", "Gop/s"))
+    attempt(lambda: round(_hbm_bw() / 1e9, 1), ("hbm_bw_measured", "GB/s"))
+
+    # sweeps: exact df64-fma counts vs the measured df64-fma ceiling --
+    # workload and ceiling in the same unit, no instruction model needed
+    for iso, label in ((True, "iso"), (False, "noniso")):
+        def sweep(iso=iso):
+            dt, fmas = _bench_sweep_kernel(iso=iso)
+            pct = (round(100.0 * fmas / dt / (df64_peak * 1e9), 1)
+                   if df64_peak else None)
+            return round(dt * 1e3, 3), pct
+        attempt(sweep, (f"sweep_{label}_solve_ms", "ms"),
+                (f"sweep_{label}_df64_pct", "%"))
+
+    # RO: heterogeneous (int sort + df64) -- approximate instruction
+    # model vs the fp32-fma issue ceiling
+    if vpu:
+        attempt(lambda: round(100.0 * _ro_model_instr()
+                              / (bench_ro_mix() * 1e-3) / (vpu * 1e9), 1),
+                ("ro_mix_vpu_pct", "%"))
+    return out
+
+
 def bench_sharding_subprocess():
     """8-virtual-CPU-device mesh sanity: sharded production RCE == single
     device (run in a subprocess so the CPU platform flag doesn't clash
@@ -497,6 +778,13 @@ def main():
         except Exception as e:
             print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   flush=True)
+
+    try:
+        for name, value, unit in bench_roofline():
+            _emit(name, value, unit)
+    except Exception as e:
+        print(json.dumps({"metric": "roofline", "error": str(e)[:200]}),
+              flush=True)
 
     rel = bench_sharding_subprocess()
     if rel is not None:

@@ -96,9 +96,14 @@ def _cx_take(x1, x2, p1, p2, ud):
 
 
 def _partner(x, j, n):
-    """x[i ^ j] via two static sublane rotations and a select."""
-    upper = None  # computed by caller; kept for doc symmetry
-    del upper
+    """x[i ^ j] via two static sublane rotations and a select.
+
+    (A single block-swap permutation -- reshape [n/2j, 2, j, T], swap
+    the half-blocks, reshape back -- is algebraically one data movement
+    instead of three, but Mosaic's compile time on that pattern explodes
+    superlinearly with the 35-stage unrolled network: >25 min vs ~4 min
+    for the rotation form, with no cache through the axon tunnel.  The
+    rotations are the pragmatic choice.)"""
     up = pltpu.roll(x, n - j, axis=0)       # up[i] = x[i + j]
     dn = pltpu.roll(x, j, axis=0)           # dn[i] = x[i - j]
     return up, dn
@@ -185,6 +190,18 @@ def _onehot_lookup(sel, ref, ny: int):
     for t in range(ny):
         acc = jnp.where(sel == t, ref[t:t + 1, :], acc)
     return acc
+
+
+def _onehot_lookup_pair(sel, hi_ref, lo_ref, ny: int) -> DF:
+    """Paired hi/lo lookup sharing one compare mask per table row
+    (halves the compare cost of two independent lookups)."""
+    acch = jnp.zeros(sel.shape, jnp.float32)
+    accl = jnp.zeros(sel.shape, jnp.float32)
+    for t in range(ny):
+        m = sel == t
+        acch = jnp.where(m, hi_ref[t:t + 1, :], acch)
+        accl = jnp.where(m, lo_ref[t:t + 1, :], accl)
+    return DF(acch, accl)
 
 
 def _ro_kernel(mh_ref, ml_ref, nh_ref, nl_ref, mrh_ref, mrl_ref,
@@ -318,10 +335,8 @@ def _ro_kernel(mh_ref, ml_ref, nh_ref, nl_ref, mrh_ref, mrl_ref,
     idx = k2_ref[:, :] & imask
     ii = idx >> jbits
     jj = idx & jmask
-    gi = DF(_onehot_lookup(ii, gwh_ref, ny),
-            _onehot_lookup(ii, gwl_ref, ny))
-    gj = DF(_onehot_lookup(jj, gwh_ref, ny),
-            _onehot_lookup(jj, gwl_ref, ny))
+    gi = _onehot_lookup_pair(ii, gwh_ref, gwl_ref, ny)
+    gj = _onehot_lookup_pair(jj, gwh_ref, gwl_ref, ny)
     w = df64.scale(df64.mul(gi, gj), np.float32(0.25))
     wh_ref[:, :] = jnp.where(valid, w.hi, 0.0)
     wl_ref[:, :] = jnp.where(valid, w.lo, 0.0)
@@ -389,10 +404,8 @@ def _ro_kernel(mh_ref, ml_ref, nh_ref, nl_ref, mrh_ref, mrl_ref,
     idx_cat = jnp.concatenate(idx_rows, axis=0)    # [2*ny, T]
     ii_s = idx_cat >> jbits
     jj_s = idx_cat & jmask
-    k_cat = df64.add(DF(_onehot_lookup(ii_s, mh_ref, ny),
-                        _onehot_lookup(ii_s, ml_ref, ny)),
-                     DF(_onehot_lookup(jj_s, nh_ref, ny),
-                        _onehot_lookup(jj_s, nl_ref, ny)))
+    k_cat = df64.add(_onehot_lookup_pair(ii_s, mh_ref, ml_ref, ny),
+                     _onehot_lookup_pair(jj_s, nh_ref, nl_ref, ny))
 
     for y in range(ny):
         k_lo = DF(k_cat.hi[2 * y:2 * y + 1, :],
