@@ -434,6 +434,14 @@ def bench_beam_zenith():
 # (measured df64-fma/s / HBM B/s ~ 0.1 fma/B), i.e. they are
 # compute-bound: HBM is not the binding wall.
 
+# Methodology note: every micro-benchmark below CHAINS its calls (each
+# call's output is the next call's input).  Unchained identical calls
+# get collapsed somewhere in the stack (request-level caching through
+# the device tunnel) and report physically impossible rates (e.g.
+# 74 TB/s "HBM bandwidth").  The XLA-level HBM benchmark additionally
+# passes its trip count as a traced argument so the per-iteration
+# full-array passes cannot be unrolled and fused into one.
+
 def _vpu_peak():
     """Measured VPU fp32 fma throughput [lane-ops/s]: 512 independent
     vreg chains of x = a*x + b resident in VMEM (enough ILP to hide the
@@ -447,33 +455,34 @@ def _vpu_peak():
 
     reps, shape = 2000, (512, 1024)
 
-    def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[:, :]
-        b = b_ref[:, :]
+    def kernel(x_ref, o_ref):
+        a = np.float32(0.9999999)
+        b = np.float32(1e-7)
         o_ref[:, :] = jax.lax.fori_loop(
-            np.int32(0), np.int32(reps), lambda i, x: a * x + b, b)
+            np.int32(0), np.int32(reps), lambda i, x: a * x + b,
+            x_ref[:, :])
 
-    a = jnp.full(shape, np.float32(0.9999999))
-    b = jnp.full(shape, np.float32(1e-7))
+    x = jnp.full(shape, np.float32(0.5))
     with jax.enable_x64(False):
-        f = jax.jit(lambda a, b: pl.pallas_call(
+        f = jax.jit(lambda x: pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, b))
-    f(a, b).block_until_ready()
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x))
+    x = f(x)
+    x.block_until_ready()
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = f(a, b)
-    r.block_until_ready()
+        x = f(x)
+    x.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return shape[0] * shape[1] * reps / dt
 
 
 def _vpu_df64_fma_peak():
     """Measured df64-fma throughput [df64 fma/s]: the EXACT primitive of
-    the sweep kernels (ops.df64.fma on hi/lo fp32 pairs), as 256
+    the sweep kernels (ops.df64.fma on hi/lo fp32 pairs), as 128
     independent VMEM-resident chains.  Sweep utilization measured
     against this ceiling needs no instruction-count model at all."""
     import jax
@@ -486,43 +495,46 @@ def _vpu_df64_fma_peak():
 
     reps, shape = 600, (128, 1024)   # 128 vreg chains; fits scoped VMEM
 
-    def kernel(ah_ref, al_ref, bh_ref, bl_ref, oh_ref, ol_ref):
-        a = df64.DF(ah_ref[:, :], al_ref[:, :])
-        b = df64.DF(bh_ref[:, :], bl_ref[:, :])
+    def kernel(xh_ref, xl_ref, oh_ref, ol_ref):
+        a = df64.DF(jnp.full(shape, np.float32(0.9999999)),
+                    jnp.full(shape, np.float32(1e-9)))
+        b = df64.DF(jnp.full(shape, np.float32(1e-7)),
+                    jnp.full(shape, np.float32(1e-15)))
 
         def body(i, x):
-            r = df64.fma(a, df64.DF(x[0], x[1]), b)
-            return (r.hi, r.lo)
+            rr = df64.fma(a, df64.DF(x[0], x[1]), b)
+            return (rr.hi, rr.lo)
 
         h, l = jax.lax.fori_loop(np.int32(0), np.int32(reps), body,
-                                 (bh_ref[:, :], bl_ref[:, :]))
+                                 (xh_ref[:, :], xl_ref[:, :]))
         oh_ref[:, :] = h
         ol_ref[:, :] = l
 
-    a = jnp.full(shape, np.float32(0.9999999))
-    z = jnp.full(shape, np.float32(1e-9))
-    b = jnp.full(shape, np.float32(1e-7))
+    xh = jnp.full(shape, np.float32(0.5))
+    xl = jnp.zeros(shape, jnp.float32)
     with jax.enable_x64(False):
-        f = jax.jit(lambda a, z, b: pl.pallas_call(
+        f = jax.jit(lambda xh, xl: pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),) * 2,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
-        )(a, z, b, z))
-    jax.block_until_ready(f(a, z, b))
+        )(xh, xl))
+    xh, xl = f(xh, xl)
+    jax.block_until_ready((xh, xl))
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = f(a, z, b)
-    jax.block_until_ready(r)
+        xh, xl = f(xh, xl)
+    jax.block_until_ready((xh, xl))
     dt = (time.perf_counter() - t0) / iters
     return shape[0] * shape[1] * reps / dt
 
 
 def _hbm_bw():
-    """Measured HBM streaming bandwidth [B/s]: 20 chained elementwise
-    passes over 128 MB inside one dispatch (each while-loop iteration
-    reads + writes the full array; XLA cannot fuse across iterations)."""
+    """Measured HBM streaming bandwidth [B/s]: chained elementwise
+    passes over 128 MB; the trip count is a traced argument so the
+    while-loop body (one full read + write per iteration) cannot be
+    unrolled and fused."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -530,15 +542,16 @@ def _hbm_bw():
     n = 32 * 1024 * 1024
     reps = 20
     x = jnp.ones(n, jnp.float32)
-    f = jax.jit(lambda x: jax.lax.fori_loop(
-        0, reps,
+    f = jax.jit(lambda x, r: jax.lax.fori_loop(
+        0, r,
         lambda i, y: y * np.float32(1.0000001) + np.float32(1e-6), x))
-    f(x).block_until_ready()
+    x = f(x, reps)
+    x.block_until_ready()
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = f(x)
-    r.block_until_ready()
+        x = f(x, reps)
+    x.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return 2 * n * 4 * reps / dt
 
