@@ -43,17 +43,20 @@ DESCRIPTIONS = {
         "(non-isothermal convective phase: flux solve + device-side "
         "adjustment)",
     "vpu_fma_peak_measured":
-        "(measured VPU fma ceiling: 64 independent VMEM-resident chains)",
+        "(measured fp32 fma issue ceiling, VMEM-resident chains)",
+    "vpu_df64_fma_peak_measured":
+        "(measured df64-fma ceiling — the sweep kernels' primitive)",
     "hbm_bw_measured": "(measured HBM streaming ceiling, read+write)",
     "sweep_iso_solve_ms": "(isolated fused df64 iso sweep, 4 passes)",
-    "sweep_iso_vpu_pct":
-        "(iso sweep modeled VPU instructions vs measured ceiling)",
+    "sweep_iso_df64_pct":
+        "(iso sweep: exact df64-fma count vs measured df64 ceiling)",
     "sweep_noniso_solve_ms":
         "(isolated fused df64 noniso sweep, 4 passes)",
-    "sweep_noniso_vpu_pct":
-        "(noniso sweep modeled VPU instructions vs measured ceiling)",
+    "sweep_noniso_df64_pct":
+        "(noniso sweep: exact df64-fma count vs measured df64 ceiling)",
     "ro_mix_vpu_pct":
-        "(Random-Overlap kernel modeled VPU instructions vs ceiling)",
+        "(Random-Overlap kernel modeled VPU instructions vs fp32 "
+        "ceiling, approximate)",
 }
 
 
