@@ -52,6 +52,21 @@ def _emit(metric, value, unit, vs_baseline=None):
     print(json.dumps(rec), flush=True)
 
 
+def _salted(a, scale=1e-9):
+    """Per-run random relative perturbation (OS entropy, no fixed seed)
+    of a benchmark input.  Requests through the device tunnel are
+    request-level cached by (executable, input); a bench re-run that
+    replays a previous run's exact request pairs measures the cache,
+    not the chip (observed: two concurrent runs of identical
+    micro-benchmarks reported 24 Tel/s fp32 and 120 TB/s "HBM", 100x
+    the honest solo numbers).  A ~1e-9 relative salt on one input makes
+    every request of every run unique without perturbing the physics
+    or the timing."""
+    import numpy as np
+    return a * (1.0 + scale * np.random.default_rng().uniform(
+        -1.0, 1.0, np.shape(a)))
+
+
 def _workload(iso=True):
     from helios_tpu.config import HeliosConfig
     from helios_tpu.forward import build_model
@@ -74,7 +89,7 @@ def bench_fluxpass(iso=True):
     from helios_tpu.forward import forward_fluxes
 
     phys, arrays = _workload(iso=iso)
-    T_lay = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    T_lay = jnp.asarray(_salted(np.linspace(1800.0, 600.0, phys.nlayer + 1)))
     K = 50
 
     @jax.jit
@@ -106,7 +121,7 @@ def bench_rce_iterations():
     from helios_tpu.rce.radiative import radiation_loop
 
     phys, arrays = _workload(iso=True)
-    T0 = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    T0 = jnp.asarray(_salted(np.linspace(1800.0, 600.0, phys.nlayer + 1)))
     K = 150
 
     run = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
@@ -134,7 +149,7 @@ def bench_rce_iterations_noniso():
     from helios_tpu.rce.radiative import radiation_loop
 
     phys, arrays = _workload(iso=False)
-    T0 = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    T0 = jnp.asarray(_salted(np.linspace(1800.0, 600.0, phys.nlayer + 1)))
     K = 150
 
     run = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
@@ -172,7 +187,7 @@ def bench_conv_iterations_noniso():
         p_boa=1e9, p_toa=1e3, adapt_interval=6).finalize()
     phys, arrays = build_model(cfg, table)
     thermo = make_const_thermo(0.1)
-    T0 = jnp.asarray(np.linspace(1500.0, 500.0, phys.nlayer + 1))
+    T0 = jnp.asarray(_salted(np.linspace(1500.0, 500.0, phys.nlayer + 1)))
 
     rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t,
                                            max_steps=60))(T0)
@@ -212,7 +227,7 @@ def bench_ro_mix():
     _, gw = __import__("helios_tpu.io.opacity", fromlist=["x"]
                        ).gauss_legendre_ypoints(ny)
 
-    T = jnp.asarray(np.linspace(1800.0, 600.0, L))
+    T = jnp.asarray(_salted(np.linspace(1800.0, 600.0, L)))
     p = jnp.asarray(np.geomspace(1e9, 1e-1, L))
     wave = jnp.asarray(donor.wave_centers)
     gy = jnp.asarray(donor.gauss_y)
@@ -275,7 +290,7 @@ def bench_rce_iterations_on_the_fly():
     from helios_tpu.rce.radiative import radiation_loop
 
     phys, arrays, sset = _onthefly_workload()
-    T0 = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    T0 = jnp.asarray(_salted(np.linspace(1800.0, 600.0, phys.nlayer + 1)))
     K = 100
 
     run = jax.jit(lambda t: radiation_loop(phys, arrays, None, t,
@@ -313,7 +328,7 @@ def bench_conv_iterations():
         p_boa=1e9, p_toa=1e3, adapt_interval=6).finalize()
     phys, arrays = build_model(cfg, table)
     thermo = make_const_thermo(0.1)
-    T0 = jnp.asarray(np.linspace(1500.0, 500.0, phys.nlayer + 1))
+    T0 = jnp.asarray(_salted(np.linspace(1500.0, 500.0, phys.nlayer + 1)))
 
     rad = jax.jit(lambda t: radiation_loop(phys, arrays, thermo, t,
                                            max_steps=60))(T0)
@@ -349,7 +364,7 @@ def bench_matrix_fluxpass():
         run_type="iterative", iso_input="yes",
         flux_calc_method="matrix").finalize()
     phys, arrays = build_model(cfg, table)
-    T_lay = jnp.asarray(np.linspace(1800.0, 600.0, phys.nlayer + 1))
+    T_lay = jnp.asarray(_salted(np.linspace(1800.0, 600.0, phys.nlayer + 1)))
     K = 20
 
     @jax.jit
@@ -383,7 +398,7 @@ def bench_beam_zenith():
     L, B, Y = 105, 385, 20
     S = B * Y
     rng = np.random.default_rng(0)
-    dtau = jnp.asarray(np.exp(rng.normal(-2.0, 1.0, (L, S))))
+    dtau = jnp.asarray(_salted(np.exp(rng.normal(-2.0, 1.0, (L, S)))))
     z_lay = jnp.asarray(np.sort(rng.uniform(0.0, 5e8, L)))
     planck_star = jnp.asarray(rng.uniform(1e3, 1e5, S))
 
@@ -417,17 +432,30 @@ def bench_beam_zenith():
 # can do AT ALL.  Ceilings are MEASURED on the same chip (no spec-sheet
 # constants):
 #
-#   * fp32 fma issue rate (Pallas VMEM-resident chain, 512-vreg ILP);
-#   * df64 fma rate -- the EXACT primitive of the sweep kernels
-#     (ops.df64.fma on hi/lo pairs), so sweep utilization = (exact df64
-#     fma count) / time / ceiling with no instruction-count modeling;
+#   * fp32 fma VMEM-streaming rate: one fma per element per VMEM
+#     round-trip, the access pattern of a streaming elementwise kernel.
+#     (219.7 Gel/s x 8 B/element == 1.76 TB/s of VMEM traffic, i.e. this
+#     chain is VMEM-limited, NOT the raw ALU issue rate.  A true
+#     register-resident issue-rate measurement is not reachable through
+#     this stack: any register-carried fma chain with loop-constant
+#     coefficients is an iterated affine map and gets collapsed by the
+#     compiler -- measured "rates" come out 10-100x above any plausible
+#     ALU width with call times flat at the ~27 us dispatch floor.)
+#   * df64 fma VMEM-streaming rate -- the EXACT primitive AND access
+#     pattern of the sweep kernels (ops.df64.fma on hi/lo pairs staged
+#     through VMEM), so sweep utilization = (exact df64 fma count) /
+#     time / ceiling with no instruction-count modeling;
 #   * HBM streaming bandwidth (20 chained full-array passes).
 #
 # The RO kernel is heterogeneous (int32 bitonic stages + df64 cumsum/
-# rebin); its utilization uses an approximate per-element instruction
-# model (documented in _ro_model_instr, with df64 op costs from
-# ops/df64.py: two_prod 13, mul 19, add 11, fma 30 fp32 ALU ops) against
-# the fp32 issue ceiling.
+# rebin) and its hot loop is sublane rotations + selects, a pattern with
+# no honest single-number ceiling; instead of a modeled utilization
+# percentage the bench MEASURES the sort's share directly with the
+# kernel's stage-skipping hook (ro_sort_ms / ro_sort_pct below).
+# _ro_model_instr (the per-element instruction model, df64 op costs from
+# ops/df64.py) is kept for the modeled aggregate instruction throughput
+# ro_mix_modeled_gops -- a sanity figure, ~2 modeled vector-lane ops per
+# cycle-equivalent, quoted with the model's ~2x uncertainty.
 #
 # Arithmetic intensity of the sweep kernels (16 df64 fma / 56 B per cell
 # iso, 41 / 112 noniso) puts both far above the machine balance
@@ -443,10 +471,11 @@ def bench_beam_zenith():
 # full-array passes cannot be unrolled and fused into one.
 
 def _vpu_peak():
-    """Measured VPU fp32 fma throughput [lane-ops/s]: 512 independent
-    vreg chains of x = a*x + b resident in VMEM (enough ILP to hide the
-    fma latency; the loop overhead is amortized over 512 vreg-ops per
-    iteration)."""
+    """Measured fp32 fma VMEM-streaming rate [elements/s]: x = a*x + b
+    over a VMEM-resident [512, 1024] array, one fma per element per
+    VMEM round-trip -- the sustained rate of a streaming elementwise
+    kernel (VMEM-limited; see the section comment for why a raw ALU
+    issue rate is not measurable through this stack)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -462,7 +491,7 @@ def _vpu_peak():
             np.int32(0), np.int32(reps), lambda i, x: a * x + b,
             x_ref[:, :])
 
-    x = jnp.full(shape, np.float32(0.5))
+    x = jnp.asarray(_salted(np.full(shape, 0.5)).astype(np.float32))
     with jax.enable_x64(False):
         f = jax.jit(lambda x: pl.pallas_call(
             kernel,
@@ -481,10 +510,11 @@ def _vpu_peak():
 
 
 def _vpu_df64_fma_peak():
-    """Measured df64-fma throughput [df64 fma/s]: the EXACT primitive of
-    the sweep kernels (ops.df64.fma on hi/lo fp32 pairs), as 128
-    independent VMEM-resident chains.  Sweep utilization measured
-    against this ceiling needs no instruction-count model at all."""
+    """Measured df64-fma VMEM-streaming rate [df64 fma/s]: the EXACT
+    primitive of the sweep kernels (ops.df64.fma on hi/lo fp32 pairs)
+    in their exact access pattern (hi/lo arrays staged through VMEM).
+    Sweep utilization measured against this same-pattern ceiling needs
+    no instruction-count model at all."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -510,7 +540,7 @@ def _vpu_df64_fma_peak():
         oh_ref[:, :] = h
         ol_ref[:, :] = l
 
-    xh = jnp.full(shape, np.float32(0.5))
+    xh = jnp.asarray(_salted(np.full(shape, 0.5)).astype(np.float32))
     xl = jnp.zeros(shape, jnp.float32)
     with jax.enable_x64(False):
         f = jax.jit(lambda xh, xl: pl.pallas_call(
@@ -541,7 +571,7 @@ def _hbm_bw():
 
     n = 32 * 1024 * 1024
     reps = 20
-    x = jnp.ones(n, jnp.float32)
+    x = jnp.asarray(_salted(np.ones(n)).astype(np.float32))
     f = jax.jit(lambda x, r: jax.lax.fori_loop(
         0, r,
         lambda i, y: y * np.float32(1.0000001) + np.float32(1e-6), x))
@@ -582,7 +612,7 @@ def _bench_sweep_kernel(iso: bool):
     from helios_tpu.ops import df64
 
     L, S, P = 105, 385 * 20, 4
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng()   # per-run entropy (see _salted)
 
     def df(shape, lo_, hi_):
         return df64.split(jnp.asarray(rng.uniform(lo_, hi_, shape)))
@@ -653,6 +683,42 @@ def _ro_model_instr():
     return cells * (gen + sort + cumsum + recon + rebin + interp)
 
 
+def _ro_kernel_ms(skip: str) -> float:
+    """Time the raw RO Pallas kernel at the production cell shape
+    (105 x 385 x 20), optionally with a pipeline stage skipped via the
+    kernel's `skip` hook ("" = full kernel, "sort" = bitonic network
+    elided).  Chained calls (output feeds the next input's mantissa
+    perturbation) defeat request-level caching."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helios_tpu.io.opacity import gauss_legendre_ypoints
+    from helios_tpu.kernels.ro_pallas import random_overlap_mix_pallas
+
+    ny, L, B = 20, 105, 385
+    gy, gw = gauss_legendre_ypoints(ny)
+    rng = np.random.default_rng()   # per-run entropy (see _salted)
+    m = jnp.asarray(np.sort(10.0 ** rng.uniform(-8, 2, (L, B, ny)),
+                            axis=-1))
+    n = jnp.asarray(np.sort(10.0 ** rng.uniform(-8, 2, (L, B, ny)),
+                            axis=-1))
+    gyj, gwj = jnp.asarray(gy), jnp.asarray(gw)
+    K = 10
+
+    @jax.jit
+    def run(mm):
+        def body(_, mm):
+            out = random_overlap_mix_pallas(mm, n, gwj, gyj, skip=skip)
+            return mm * (1.0 + 1e-30 * out[0, 0, 0])
+        return jax.lax.fori_loop(0, K, body, mm)
+
+    run(m).block_until_ready()
+    t0 = time.perf_counter()
+    run(m).block_until_ready()
+    return (time.perf_counter() - t0) / K * 1e3
+
+
 def bench_roofline():
     """Measured ceilings + per-kernel utilization; returns a list of
     (metric, value, unit) tuples."""
@@ -676,10 +742,10 @@ def bench_roofline():
                 out.append((name, v, unit))
         return list(vals)
 
-    (vpu,) = attempt(lambda: round(_vpu_peak() / 1e9, 1),
-                     ("vpu_fma_peak_measured", "Gop/s"))
+    attempt(lambda: round(_vpu_peak() / 1e9, 1),
+            ("vpu_fma_stream_measured", "Gel/s"))
     (df64_peak,) = attempt(lambda: round(_vpu_df64_fma_peak() / 1e9, 2),
-                           ("vpu_df64_fma_peak_measured", "Gop/s"))
+                           ("vpu_df64_fma_stream_measured", "Gop/s"))
     attempt(lambda: round(_hbm_bw() / 1e9, 1), ("hbm_bw_measured", "GB/s"))
 
     # sweeps: exact df64-fma counts vs the measured df64-fma ceiling --
@@ -693,12 +759,19 @@ def bench_roofline():
         attempt(sweep, (f"sweep_{label}_solve_ms", "ms"),
                 (f"sweep_{label}_df64_pct", "%"))
 
-    # RO: heterogeneous (int sort + df64) -- approximate instruction
-    # model vs the fp32-fma issue ceiling
-    if vpu:
-        attempt(lambda: round(100.0 * _ro_model_instr()
-                              / (bench_ro_mix() * 1e-3) / (vpu * 1e9), 1),
-                ("ro_mix_vpu_pct", "%"))
+    # RO: no honest single-number ceiling exists for its rotate+select
+    # hot loop, so measure the bitonic sort's share directly with the
+    # kernel's stage-skipping hook, and report the modeled aggregate
+    # instruction throughput as a sanity figure (~2x model uncertainty).
+    def ro_sort_share():
+        full = _ro_kernel_ms("")
+        no_sort = _ro_kernel_ms("sort")
+        sort_ms = full - no_sort
+        gops = _ro_model_instr() / (full * 1e-3) / 1e9
+        return (round(sort_ms, 2), round(100.0 * sort_ms / full, 1),
+                round(gops, 0))
+    attempt(ro_sort_share, ("ro_sort_ms", "ms"), ("ro_sort_pct", "%"),
+            ("ro_mix_modeled_gops", "Gop/s"))
     return out
 
 

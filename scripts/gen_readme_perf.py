@@ -42,10 +42,12 @@ DESCRIPTIONS = {
     "conv_iterations_per_s_noniso":
         "(non-isothermal convective phase: flux solve + device-side "
         "adjustment)",
-    "vpu_fma_peak_measured":
-        "(measured fp32 fma issue ceiling, VMEM-resident chains)",
-    "vpu_df64_fma_peak_measured":
-        "(measured df64-fma ceiling — the sweep kernels' primitive)",
+    "vpu_fma_stream_measured":
+        "(measured fp32-fma VMEM-streaming rate, the elementwise-kernel "
+        "ceiling)",
+    "vpu_df64_fma_stream_measured":
+        "(measured df64-fma streaming rate — the sweep kernels' exact "
+        "primitive and access pattern)",
     "hbm_bw_measured": "(measured HBM streaming ceiling, read+write)",
     "sweep_iso_solve_ms": "(isolated fused df64 iso sweep, 4 passes)",
     "sweep_iso_df64_pct":
@@ -54,9 +56,13 @@ DESCRIPTIONS = {
         "(isolated fused df64 noniso sweep, 4 passes)",
     "sweep_noniso_df64_pct":
         "(noniso sweep: exact df64-fma count vs measured df64 ceiling)",
-    "ro_mix_vpu_pct":
-        "(Random-Overlap kernel modeled VPU instructions vs fp32 "
-        "ceiling, approximate)",
+    "ro_sort_ms":
+        "(Random-Overlap bitonic-network time, measured by stage "
+        "skipping)",
+    "ro_sort_pct": "(sort share of the Random-Overlap kernel)",
+    "ro_mix_modeled_gops":
+        "(Random-Overlap modeled aggregate instruction throughput, "
+        "~2× model uncertainty)",
 }
 
 
@@ -72,9 +78,14 @@ def _fmt(metric: str, value: float, unit: str, vs_baseline=None) -> str:
     elif unit in ("frac", "fraction"):
         s = f"{100.0 * value:.0f}% of peak"
     elif unit == "%":
-        s = f"{value:.0f}% of measured peak"
+        if metric == "ro_sort_pct":
+            s = f"{value:.0f}% of kernel time"
+        else:
+            s = f"{value:.0f}% of measured peak"
     elif unit == "Gop/s":
         s = f"{value / 1e3:.2f} Top/s"
+    elif unit == "Gel/s":
+        s = f"{value:.0f} G elements/s"
     elif unit == "GB/s":
         s = f"{value:.0f} GB/s"
     else:
