@@ -87,8 +87,18 @@ def _iso_sweep_kernel_df64(ah_ref, al_ref, bh_ref, bl_ref, sdh_ref, sdl_ref,
     reference's fp64 flux accuracy (kernels.cu `utype`): matches the XLA
     fp64 oracle to ~1e-13 relative.
 
-    src scratch: per pass the vectorized [L, S] source b*F + s is staged
-    in VMEM scratch so the sequential loop is one df64 fma per layer.
+    Sublane-interleaved layout: every ref is [.., 8, C] -- the spectral
+    tile viewed as 8 sublane rows x C lanes -- so each step of the
+    latency-bound sequential layer chain is a df64 fma on a FULL
+    (8, 128)-tiled vreg block.  The previous [L, S]-flat layout made the
+    chain operate on [1, tile_s] slices occupying 1 of 8 sublanes: 8x
+    the vector issues for the same work, and the chain dominated the
+    solve (measured 0.58 ms vs ~0.11 ms for the vectorized stages at
+    105 x 7700 x 4 passes).
+
+    src scratch: per pass the vectorized [L, 8, C] source b*F + s is
+    staged in VMEM scratch so the sequential loop is one df64 fma per
+    layer.
     """
     from helios_tpu.ops import df64
 
@@ -97,49 +107,49 @@ def _iso_sweep_kernel_df64(ah_ref, al_ref, bh_ref, bl_ref, sdh_ref, sdl_ref,
 
     fuph_ref[:] = fuph_prev_ref[:]
     fupl_ref[:] = fupl_prev_ref[:]
-    toa = DF(toah_ref[0, :], toal_ref[0, :])
-    fdownh_ref[L, :] = toa.hi
-    fdownl_ref[L, :] = toa.lo
+    toa = DF(toah_ref[0], toal_ref[0])
+    fdownh_ref[L] = toa.hi
+    fdownl_ref[L] = toa.lo
 
     def one_pass(p, _):
         # vectorized source for the down sweep: b * F_up[0:L] + sd
-        src = df64.fma(DF(bh_ref[:, :], bl_ref[:, :]),
-                       DF(fuph_ref[:L, :], fupl_ref[:L, :]),
-                       DF(sdh_ref[:, :], sdl_ref[:, :]))
+        src = df64.fma(DF(bh_ref[:, :, :], bl_ref[:, :, :]),
+                       DF(fuph_ref[:L, :, :], fupl_ref[:L, :, :]),
+                       DF(sdh_ref[:, :, :], sdl_ref[:, :, :]))
         srch_ref[:] = src.hi
         srcl_ref[:] = src.lo
 
         def down_step(k, carry):
             i = jnp.int32(L - 1) - k
-            f = df64.fma(DF(ah_ref[i, :], al_ref[i, :]), carry,
-                         DF(srch_ref[i, :], srcl_ref[i, :]))
-            fdownh_ref[i, :] = f.hi
-            fdownl_ref[i, :] = f.lo
+            f = df64.fma(DF(ah_ref[i], al_ref[i]), carry,
+                         DF(srch_ref[i], srcl_ref[i]))
+            fdownh_ref[i] = f.hi
+            fdownl_ref[i] = f.lo
             return f
 
         jax.lax.fori_loop(np.int32(0), np.int32(L), down_step, toa)
 
         # BOA: refl * (F_dir0 + F_down[0]) + emis
         boa = df64.fma(
-            DF(reflh_ref[0, :], refll_ref[0, :]),
-            df64.add(DF(fdir0h_ref[0, :], fdir0l_ref[0, :]),
-                     DF(fdownh_ref[0, :], fdownl_ref[0, :])),
-            DF(emish_ref[0, :], emisl_ref[0, :]))
-        fuph_ref[0, :] = boa.hi
-        fupl_ref[0, :] = boa.lo
+            DF(reflh_ref[0], refll_ref[0]),
+            df64.add(DF(fdir0h_ref[0], fdir0l_ref[0]),
+                     DF(fdownh_ref[0], fdownl_ref[0])),
+            DF(emish_ref[0], emisl_ref[0]))
+        fuph_ref[0] = boa.hi
+        fupl_ref[0] = boa.lo
 
         # vectorized source for the up sweep: b * F_down[1:L+1] + su
-        src_u = df64.fma(DF(bh_ref[:, :], bl_ref[:, :]),
-                         DF(fdownh_ref[1:, :], fdownl_ref[1:, :]),
-                         DF(suh_ref[:, :], sul_ref[:, :]))
+        src_u = df64.fma(DF(bh_ref[:, :, :], bl_ref[:, :, :]),
+                         DF(fdownh_ref[1:, :, :], fdownl_ref[1:, :, :]),
+                         DF(suh_ref[:, :, :], sul_ref[:, :, :]))
         srch_ref[:] = src_u.hi
         srcl_ref[:] = src_u.lo
 
         def up_step(i, carry):
-            f = df64.fma(DF(ah_ref[i, :], al_ref[i, :]), carry,
-                         DF(srch_ref[i, :], srcl_ref[i, :]))
-            fuph_ref[i + 1, :] = f.hi
-            fupl_ref[i + 1, :] = f.lo
+            f = df64.fma(DF(ah_ref[i], al_ref[i]), carry,
+                         DF(srch_ref[i], srcl_ref[i]))
+            fuph_ref[i + 1] = f.hi
+            fupl_ref[i + 1] = f.lo
             return f
 
         jax.lax.fori_loop(np.int32(0), np.int32(L), up_step, boa)
@@ -414,7 +424,7 @@ def fused_iso_sweep(a, b_nm, src_down, src_up, toa, boa_refl, boa_emis,
 @partial(jax.jit, static_argnames=("n_passes", "tile_s"))
 def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
                          boa_emis, F_dir0, F_up_prev, *, n_passes: int,
-                         tile_s: int = 512):
+                         tile_s: int = 1024):
     """fp64-accurate fused iso solve via double-float32 arithmetic.
 
     Same contract as fused_iso_sweep but with float64 inputs/outputs:
@@ -434,10 +444,13 @@ def fused_iso_sweep_df64(a, b_nm, src_down, src_up, toa, boa_refl,
     return df64.combine(fd, out_dtype), df64.combine(fu, out_dtype)
 
 
+_R = 8   # sublane rows per interleaved spectral tile (the f32 vreg height)
+
+
 @partial(jax.jit, static_argnames=("n_passes", "tile_s"))
 def fused_iso_sweep_df64_pairs(a, b_nm, src_down, src_up, toa, boa_refl,
                                boa_emis, F_dir0, F_up_prev, *,
-                               n_passes: int, tile_s: int = 512):
+                               n_passes: int, tile_s: int = 1024):
     """Pairs-native fused iso solve: every argument is an ops.df64.DF
     (hi, lo) float32 pair; returns (F_down, F_up) as DF pairs [L+1, S].
 
@@ -446,22 +459,29 @@ def fused_iso_sweep_df64_pairs(a, b_nm, src_down, src_up, toa, boa_refl,
     (the split/combine casts alone cost ~0.1 ms/iteration at the
     reference workload).
 
-    tile_s defaults lower than the fp32 kernel: the pair representation
-    doubles the VMEM footprint per tile, and the double-buffered pipeline
-    over grid tiles must stay under the ~16 MB/core VMEM budget.
+    Layout: the padded spectral axis is VIEWED as [8, s_pad/8] (a free
+    reshape, no data movement) and each kernel block is [.., 8, C] with
+    C = tile_s/8 lanes, so the sequential layer chain runs on full
+    (8, 128)-tiled vreg blocks -- see _iso_sweep_kernel_df64.  tile_s
+    stays at 1024 spectral elements (C = 128) to keep the
+    double-buffered pair pipeline under the ~16 MB/core VMEM budget.
     """
     from helios_tpu.ops import df64
 
     L, S = a.hi.shape
-    tile_s = min(tile_s, max(128, 128 * ((S + 127) // 128)))
+    tile_s = max(_R * 128, (tile_s // (_R * 128)) * (_R * 128))
     s_pad = tile_s * ((S + tile_s - 1) // tile_s)
     n_tiles = s_pad // tile_s
+    C = tile_s // _R
+    S8 = s_pad // _R
 
     def pad2(p, row=False):
         if row and p.hi.ndim == 1:
-            return [_pad_to(p.hi[None, :], s_pad),
-                    _pad_to(p.lo[None, :], s_pad)]
-        return [_pad_to(p.hi, s_pad), _pad_to(p.lo, s_pad)]
+            return [_pad_to(p.hi[None, :], s_pad).reshape(1, _R, S8),
+                    _pad_to(p.lo[None, :], s_pad).reshape(1, _R, S8)]
+        n = p.hi.shape[0]
+        return [_pad_to(p.hi, s_pad).reshape(n, _R, S8),
+                _pad_to(p.lo, s_pad).reshape(n, _R, S8)]
 
     ins = []
     for arr in (a, b_nm, src_down, src_up):
@@ -470,11 +490,11 @@ def fused_iso_sweep_df64_pairs(a, b_nm, src_down, src_up, toa, boa_refl,
         ins.extend(pad2(arr, row=True))
     ins.extend(pad2(F_up_prev))
 
-    lay_spec = pl.BlockSpec((L, tile_s), lambda t: (0, t),
+    lay_spec = pl.BlockSpec((L, _R, C), lambda t: (0, 0, t),
                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, tile_s), lambda t: (0, t),
+    row_spec = pl.BlockSpec((1, _R, C), lambda t: (0, 0, t),
                             memory_space=pltpu.VMEM)
-    int_spec = pl.BlockSpec((L + 1, tile_s), lambda t: (0, t),
+    int_spec = pl.BlockSpec((L + 1, _R, C), lambda t: (0, 0, t),
                             memory_space=pltpu.VMEM)
     f32 = jnp.float32
 
@@ -484,14 +504,15 @@ def fused_iso_sweep_df64_pairs(a, b_nm, src_down, src_up, toa, boa_refl,
             grid=(n_tiles,),
             in_specs=[lay_spec] * 8 + [row_spec] * 8 + [int_spec] * 2,
             out_specs=(int_spec,) * 4,
-            out_shape=tuple(jax.ShapeDtypeStruct((L + 1, s_pad), f32)
+            out_shape=tuple(jax.ShapeDtypeStruct((L + 1, _R, S8), f32)
                             for _ in range(4)),
-            scratch_shapes=[pltpu.VMEM((L, tile_s), f32)] * 2,
+            scratch_shapes=[pltpu.VMEM((L, _R, C), f32)] * 2,
             interpret=_use_interpret(),
         )(*ins)
 
-    return (df64.DF(fdh[:, :S], fdl[:, :S]),
-            df64.DF(fuh[:, :S], ful[:, :S]))
+    unview = lambda x: x.reshape(L + 1, s_pad)[:, :S]
+    return (df64.DF(unview(fdh), unview(fdl)),
+            df64.DF(unview(fuh), unview(ful)))
 
 
 @partial(jax.jit, static_argnames=("n_passes", "tile_s"))
@@ -579,6 +600,18 @@ def fused_noniso_sweep_df64_pairs(a_up, b_up, src_up_down, src_up_up,
     tile_s = 256: the non-iso kernel holds 2x the iso kernel's arrays
     (two half-layer recurrences), and the double-buffered tile pipeline
     must stay inside the ~16 MB VMEM budget.
+
+    Measured dead end (round 5): the iso kernel's sublane-interleaved
+    [.., R, C] layout does NOT transfer here.  R = 8 tiles need ~19 MB
+    of scoped VMEM (OOM at compile); R = 4 compiled but ran 2.5x SLOWER
+    (3.10 ms vs 1.25 ms at 105 x 7700 x 4) -- with a 3-D ref Mosaic
+    tiles only the last two dims, so every [L, R, C] vectorized stage
+    (8 of the kernel's 10 df64 fmas per cell) degrades into L slab ops
+    on one (R,128) vreg each, while the 2-D [L, S] layout fuses them
+    into dense multi-vreg ops.  The iso kernel wins from the interleave
+    because its runtime is chain-dominated (2 of 4 fmas sequential);
+    this kernel is vectorized-stage-dominated, so it keeps the 2-D
+    layout and pays 1-of-8 sublane occupancy only on the chain.
     """
     from helios_tpu.ops import df64
 
