@@ -411,10 +411,14 @@ _CONV_CAP = 4000
 
 
 def _flagship_workload():
-    """The production-default configuration at the flagship shape:
-    non-isothermal (the reference's iterative run_type sets iso=0,
-    read.py:888-895) with convection enabled and an optically thick,
-    internally heated atmosphere so the convective phase engages."""
+    """The production-default configuration at the flagship shape
+    (105 layers x 385 bins x 20 y): non-isothermal (the reference's
+    iterative run_type sets iso=0, read.py:888-895), convection
+    enabled, an irradiated hot-Jupiter with a thick interior
+    (10x opacity, T_intern = 500 K, kappa = 0.25) so the run exercises
+    BOTH phases: the radiative loop hands over via goto_convection and
+    the convective interplay converges (measured: ~200 rad + ~500 conv
+    iterations, final profile ~850-4350 K)."""
     from helios_tpu.config import HeliosConfig
     from helios_tpu.forward import build_model
     from helios_tpu.io.opacity import synthetic_premixed_table
@@ -423,13 +427,13 @@ def _flagship_workload():
     table = synthetic_premixed_table(nbin=385, ny=20)
     table.kpoints *= 10.0           # optically thick -> convective
     cfg = HeliosConfig(
-        planet="manual", g=2288.0, a=0.0153, R_planet=1.0,
-        R_star=30.0, T_star=30.0, T_intern=700.0,
+        planet="manual", g=2140.0, a=0.03142, R_planet=1.138,
+        R_star=0.805, T_star=5040.0, T_intern=500.0,
         scattering="yes", direct_beam="no", convection="yes",
-        kappa_value=0.1, run_type="iterative", iso_input="no",
-        p_boa=1e9, p_toa=1e3, adapt_interval=6).finalize()
+        kappa_value=0.25, run_type="iterative", iso_input="no",
+        adapt_interval=6).finalize()
     phys, arrays = build_model(cfg, table)
-    return phys, arrays, make_const_thermo(0.1)
+    return phys, arrays, make_const_thermo(0.25)
 
 
 def bench_flagship():
@@ -447,7 +451,7 @@ def bench_flagship():
 
     def one_run():
         T0 = jnp.asarray(_salted(
-            np.linspace(1500.0, 500.0, phys.nlayer + 1)))
+            np.linspace(4300.0, 900.0, phys.nlayer + 1)))
         t_start = time.perf_counter()
         s = r.init(T0)
         rad_rate = 0.0
@@ -498,7 +502,12 @@ def bench_ensemble():
     from helios_tpu.rce.radiative import radiation_loop
 
     phys, arrays, thermo = _flagship_workload()
-    n = 8
+    # n = 4: a batch of 8 noniso flagship members reproducibly CRASHED
+    # the TPU worker (HBM pressure: 8x the ~0.5 GB noniso cell cache
+    # plus the while-loop's carried copies); 4 is the measured stable
+    # single-chip envelope, and the planet axis scales across chips for
+    # larger fleets (parallel/sharding.py planet mesh).
+    n = int(os.environ.get("BENCH_ENSEMBLE_N", "4"))
     rng = _rng()
     models = []
     for i in range(n):
@@ -508,7 +517,7 @@ def bench_ensemble():
         models.append(arrays._replace(starflux=arrays.starflux * f))
     m_stacked = stack_models(models)
     T0s = jnp.asarray(
-        np.linspace(1500.0, 500.0, phys.nlayer + 1)[None, :]
+        np.linspace(4300.0, 900.0, phys.nlayer + 1)[None, :]
         * (1.0 + 0.01 * rng.uniform(size=(n, 1))))
 
     # the batched device programs of run_ensemble_loops
@@ -899,27 +908,9 @@ def bench_roofline():
                         round(100.0 * fmas / dt / (df64_peak * 1e9), 1),
                         "%"))
 
-    # RO: no honest single-number ceiling exists for its rotate+select
-    # hot loop, so measure each stage's share directly with the kernel's
-    # stage-skipping hook (shared inputs, calibrated medians), and
-    # report the modeled aggregate instruction throughput as a sanity
-    # figure (~2x model uncertainty).
-    try:
-        rot = _ROStageTimer()
-        full = rot.time_ms("")
-        sort_ms = max(0.0, full - rot.time_ms("sort"))
-        cumsum_ms = max(0.0, full - rot.time_ms("cumsum"))
-        rebin_ms = max(0.0, full - rot.time_ms("rebin"))
-        gops = _ro_model_instr() / (full * 1e-3) / 1e9
-        out += [("ro_kernel_ms", round(full, 2), "ms"),
-                ("ro_sort_ms", round(sort_ms, 2), "ms"),
-                ("ro_sort_pct", round(min(100.0, 100.0 * sort_ms / full),
-                                      1), "%"),
-                ("ro_cumsum_ms", round(cumsum_ms, 2), "ms"),
-                ("ro_rebin_ms", round(rebin_ms, 2), "ms"),
-                ("ro_mix_modeled_gops", round(gops, 0), "Gop/s")]
-    except Exception as e:
-        _fail("ro_sort_ms", e)
+    # (the RO stage decomposition -- no honest single-number ceiling
+    # exists for its rotate+select hot loop -- runs as its own guarded
+    # child section, bench_ro_stages)
 
     if unreliable:
         out.append(("roofline_unreliable", 1, "flag"))
@@ -988,6 +979,125 @@ def collect_sharding(proc) -> float:
 
 
 # --------------------------------------------------------------------------- #
+# section runner: heavy sections run as CHILD bench.py processes with a
+# hard wall timeout, so one cold 10-25 min loop compile can never drag
+# the whole bench past the driver's kill timeout (the round-4 rc=124
+# failure): on child overrun the parent kills that exact child, emits a
+# skip marker, and continues.  Children share the persistent compile
+# cache; the tunnel interleaves requests between the idle parent and
+# the active child.
+# --------------------------------------------------------------------------- #
+
+_UNITS = {"ro_kernel_ms": "ms", "ro_sort_ms": "ms", "ro_sort_pct": "%",
+          "ro_cumsum_ms": "ms", "ro_rebin_ms": "ms",
+          "ro_mix_modeled_gops": "Gop/s",
+          "flagship_run_seconds": "s",
+          "flagship_run_iterations": "it",
+          "flagship_run_converged": "flag",
+          "rce_iterations_per_s_noniso": "it/s",
+          "conv_iterations_per_s": "it/s",
+          "conv_iterations_per_s_noniso": "it/s",
+          "ensemble_planets_per_hour": "planets/h",
+          "ensemble_batched_iterations_per_s": "it/s"}
+
+
+def _emit_result(name, res, unit):
+    if isinstance(res, dict):
+        for k, v in res.items():
+            _emit(k, v, _UNITS.get(k, ""))
+    else:
+        _emit(name, res, unit)
+
+
+def _section_registry():
+    return {
+        "ro_stages": (bench_ro_stages, None),
+        "ro_mix_ms": (bench_ro_mix, "ms"),
+        "rce_iterations_per_s": (lambda: bench_rce_iterations(iso=True),
+                                 "it/s"),
+        "fluxpass_noniso_gridcells_per_s":
+            (lambda: bench_fluxpass(iso=False), "cells/s"),
+        "flagship": (bench_flagship, None),
+        "rce_iterations_per_s_on_the_fly":
+            (lambda: bench_rce_iterations(sset_workload=True), "it/s"),
+        "fluxpass_matrix_gridcells_per_s":
+            (lambda: bench_fluxpass(iso=True, flux_calc_method="matrix"),
+             "cells/s"),
+        "beam_zenith_ms": (bench_beam_zenith, "ms"),
+        "ensemble": (bench_ensemble, None),
+    }
+
+
+def bench_ro_stages():
+    """RO stage decomposition (see bench_roofline's RO note): measured
+    stage shares via the kernel's skip hook + the modeled aggregate
+    instruction throughput."""
+    rot = _ROStageTimer()
+    full = rot.time_ms("")
+    sort_ms = max(0.0, full - rot.time_ms("sort"))
+    cumsum_ms = max(0.0, full - rot.time_ms("cumsum"))
+    rebin_ms = max(0.0, full - rot.time_ms("rebin"))
+    gops = _ro_model_instr() / (full * 1e-3) / 1e9
+    return {"ro_kernel_ms": round(full, 2),
+            "ro_sort_ms": round(sort_ms, 2),
+            "ro_sort_pct": round(min(100.0, 100.0 * sort_ms / full), 1),
+            "ro_cumsum_ms": round(cumsum_ms, 2),
+            "ro_rebin_ms": round(rebin_ms, 2),
+            "ro_mix_modeled_gops": round(gops, 0)}
+
+
+def _run_section_child(names):
+    """Child-process entry: run one or more (comma-separated) sections
+    in one process -- grouping amortizes the ~30-60 s jax init +
+    compile-cache load -- printing each section's JSON lines as it
+    completes."""
+    _enable_cache()
+    reg = _section_registry()
+    _measure_rtt()
+    for name in names.split(","):
+        fn, unit = reg[name]
+        try:
+            _emit_result(name, fn(), unit)
+        except Exception as e:
+            _fail(name, e)
+
+
+def _spawn_section(name, est_cold, _retry=True):
+    """Run a section group in a child bench.py with a hard timeout.
+    On timeout the exact child is killed and its partial output
+    salvaged; a child that errored (transient tunnel failures like
+    'response body closed' or a worker restart) is retried once."""
+    if _remaining() < 90:
+        _skip(name)
+        return
+    timeout = max(120.0, min(_remaining() - 45.0, est_cold))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__))
+                         + ((":" + env["PYTHONPATH"])
+                            if "PYTHONPATH" in env else ""))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--section", name],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True)
+    timed_out = False
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()          # the exact child PID, nothing else
+        out, _ = proc.communicate()
+        timed_out = True
+    lines = [ln.strip() for ln in (out or "").splitlines()
+             if ln.strip().startswith("{")]
+    errored = proc.returncode != 0 or any('"error"' in ln
+                                          for ln in lines)
+    if errored and _retry and not timed_out and _remaining() > 180:
+        _spawn_section(name, est_cold, _retry=False)
+        return
+    for ln in lines:
+        print(ln, flush=True)
+    if timed_out:
+        _skip(name, "section_timeout")
+
 
 def main():
     _enable_cache()
@@ -999,7 +1109,8 @@ def main():
     except Exception as e:
         _fail("rtt", e)
 
-    # 1. headline
+    # 1. headline (in-process; everything downstream assumes its
+    # compiles are warm)
     try:
         cells = bench_fluxpass(iso=True)
         _emit("fluxpass_gridcells_per_s_per_chip", round(cells, 1),
@@ -1007,8 +1118,10 @@ def main():
     except Exception as e:
         _fail("fluxpass_gridcells_per_s_per_chip", e)
 
-    # 2. roofline (cheap compiles, high information density)
-    if _remaining() > 240:
+    # 2. roofline ceilings + sweep utilizations (fast compiles,
+    # in-process); the RO stage decomposition follows as a guarded
+    # child section (its 4 kernel variants can cost ~15 min cold)
+    if _remaining() > 180:
         try:
             for name, value, unit in bench_roofline():
                 _emit(name, value, unit)
@@ -1017,46 +1130,20 @@ def main():
     else:
         _skip("roofline")
 
-    # 3..10: (name, callable, unit_or_None_for_dict, est_seconds)
-    sections = [
-        ("ro_mix_ms", bench_ro_mix, "ms", 120),
-        ("rce_iterations_per_s", lambda: bench_rce_iterations(iso=True),
-         "it/s", 150),
-        ("fluxpass_noniso_gridcells_per_s",
-         lambda: bench_fluxpass(iso=False), "cells/s", 120),
-        ("flagship", bench_flagship, None, 300),
-        ("rce_iterations_per_s_on_the_fly",
-         lambda: bench_rce_iterations(sset_workload=True), "it/s", 240),
-        ("fluxpass_matrix_gridcells_per_s",
-         lambda: bench_fluxpass(iso=True, flux_calc_method="matrix"),
-         "cells/s", 120),
-        ("beam_zenith_ms", bench_beam_zenith, "ms", 60),
-        ("ensemble", bench_ensemble, None, 420),
-    ]
-    for name, fn, unit, est in sections:
-        if _remaining() < min(est, 120):
-            _skip(name)
-            continue
-        try:
-            res = fn()
-        except Exception as e:
-            _fail(name, e)
-            continue
-        if isinstance(res, dict):
-            units = {"flagship_run_seconds": "s",
-                     "flagship_run_iterations": "it",
-                     "flagship_run_converged": "flag",
-                     "rce_iterations_per_s_noniso": "it/s",
-                     "conv_iterations_per_s": "it/s",
-                     "conv_iterations_per_s_noniso": "it/s",
-                     "ensemble_planets_per_hour": "planets/h",
-                     "ensemble_batched_iterations_per_s": "it/s"}
-            for k, v in res.items():
-                _emit(k, v, units.get(k, ""))
-        else:
-            _emit(name, res, unit)
+    # 3..8: guarded child section groups (grouping amortizes per-child
+    # init; a group's sections share one process and one timeout),
+    # (comma-joined names, worst-case-cold seconds)
+    for name, est_cold in [
+            ("ro_stages,ro_mix_ms", 1100),
+            ("rce_iterations_per_s,fluxpass_noniso_gridcells_per_s",
+             1100),
+            ("flagship", 1200),
+            ("rce_iterations_per_s_on_the_fly,"
+             "fluxpass_matrix_gridcells_per_s,beam_zenith_ms", 1500),
+            ("ensemble", 1500)]:
+        _spawn_section(name, est_cold)
 
-    # 11. collect the concurrent CPU sharding check
+    # 12. collect the concurrent CPU sharding check
     if shard_proc is not None:
         try:
             _emit("sharding_equality_max_rel",
@@ -1070,4 +1157,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        _run_section_child(sys.argv[2])
+    else:
+        main()

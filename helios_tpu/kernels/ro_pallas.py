@@ -110,13 +110,31 @@ def _partner(x, j, n):
 
 
 def _sort_refs(k1_ref, k2_ref, n_pad: int, k_start: int):
-    """Bitonic sort of the (k1, k2) int keys IN PLACE on VMEM scratch,
-    ascending, starting at stage level ``k_start`` (the generation
-    already established sorted (k_start/2)-blocks with alternating
-    direction).  Writing every stage back into the same two scratch
-    buffers keeps Mosaic's scoped-VMEM stack allocation bounded."""
+    """Bitonic sort of the (k1, k2) int keys on VMEM scratch, ascending,
+    starting at stage level ``k_start`` (the generation already
+    established sorted (k_start/2)-blocks with alternating direction).
+
+    The key arrays are CARRIED AS VALUES through the whole unrolled
+    network and written back once (measured round 5: identical runtime
+    to stage-by-stage ref write-back -- Mosaic already forwards the
+    stores -- kept for the simpler dataflow).
+
+    MEASURED FLOOR (round 5, honest fetch-forced timing): the 35-stage
+    network costs 5.4 ms of the kernel's 10.2 ms at 105x385x20.  The
+    sort-free alternative (per-Gauss-node binary search on the int key
+    space with rank-counting masked sums, SURVEY 7.2's candidate) loses
+    at ny = 20: 2*ny = 40 quantile endpoints x 32 bit-planes x ~6 ops
+    per [n_pad, T] pass = ~7680 row-passes vs the network's
+    35 stages x 19 ops = 665 -- an order of magnitude MORE issue
+    traffic, because the nodes cannot share rank-count passes (each has
+    its own pivot).  A merge-tree formulation also loses: padding the
+    2*ny sorted runs to power-of-two length grows n_pad 512 -> 640 and
+    30 stages x 640 rows > 35 x 512.  The remaining levers are per-op,
+    not algorithmic."""
     T = k1_ref.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, T), 0)
+    x1 = k1_ref[:, :]
+    x2 = k2_ref[:, :]
     k = k_start
     while k <= n_pad:
         j = k // 2
@@ -124,17 +142,17 @@ def _sort_refs(k1_ref, k2_ref, n_pad: int, k_start: int):
             au = (row & j) != 0             # i has bit j -> partner below
             ud = (au.astype(jnp.int32)
                   + ((row & k) != 0).astype(jnp.int32))
-            x1 = k1_ref[:, :]
-            x2 = k2_ref[:, :]
             up1, dn1 = _partner(x1, j, n_pad)
             p1 = jnp.where(au, dn1, up1)
             up2, dn2 = _partner(x2, j, n_pad)
             p2 = jnp.where(au, dn2, up2)
             take = _cx_take(x1, x2, p1, p2, ud)
-            k1_ref[:, :] = jnp.where(take, p1, x1)
-            k2_ref[:, :] = jnp.where(take, p2, x2)
+            x1 = jnp.where(take, p1, x1)
+            x2 = jnp.where(take, p2, x2)
             j //= 2
         k *= 2
+    k1_ref[:, :] = x1
+    k2_ref[:, :] = x2
 
 
 def _sort_values(k1, k2, n: int):

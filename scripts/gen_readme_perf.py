@@ -63,6 +63,21 @@ DESCRIPTIONS = {
     "ro_mix_modeled_gops":
         "(Random-Overlap modeled aggregate instruction throughput, "
         "~2× model uncertainty)",
+    "ro_kernel_ms": "(raw Random-Overlap Pallas kernel, one pass)",
+    "ro_cumsum_ms": "(Random-Overlap df64 weight cumsum, stage-skip)",
+    "ro_rebin_ms": "(Random-Overlap rebin + interpolation, stage-skip)",
+    "sweep_iso_df64_gfma_s": "(iso sweep sustained df64-fma rate)",
+    "sweep_noniso_df64_gfma_s": "(noniso sweep sustained df64-fma rate)",
+    "flagship_run_seconds":
+        "(FULL RCE to convergence: noniso radiation + convective "
+        "interplay, premixed, warm)",
+    "flagship_run_iterations": "(iterations of that run, rad + conv)",
+    "flagship_run_converged": "(1 = converged under the criterion)",
+    "ensemble_planets_per_hour":
+        "(4 planets per batched device program, full RCE each — the "
+        "capability the reference lacks)",
+    "ensemble_batched_iterations_per_s":
+        "(summed per-planet iterations / wall in the batched program)",
 }
 
 
@@ -88,6 +103,14 @@ def _fmt(metric: str, value: float, unit: str, vs_baseline=None) -> str:
         s = f"{value:.0f} G elements/s"
     elif unit == "GB/s":
         s = f"{value:.0f} GB/s"
+    elif unit == "s":
+        s = f"{value:.1f} s"
+    elif unit == "it":
+        s = f"{value:.0f}"
+    elif unit == "flag":
+        s = "yes" if value else "no"
+    elif unit == "planets/h":
+        s = f"{value:.0f} planets/hour"
     else:
         s = f"{value:g} {unit}"
     if vs_baseline:
