@@ -62,7 +62,7 @@ import time
 BASELINE_CELLS_PER_S = 15.5e6
 
 _T0 = time.time()
-_DEADLINE = _T0 + float(os.environ.get("BENCH_BUDGET_S", "1500"))
+_DEADLINE = _T0 + float(os.environ.get("BENCH_BUDGET_S", "1650"))
 _RTT = 0.03           # measured at startup by _measure_rtt
 _TARGET_S = 1.5       # minimum timed-region length
 
@@ -449,9 +449,20 @@ def bench_flagship():
     phys, arrays, thermo = _flagship_workload()
     r = _Runner(phys, arrays, thermo=thermo)
 
+    # start from a SUPER-adiabatic deep profile (slope 0.30 > kappa
+    # 0.25 wherever the 900 K floor is not binding): engagement of the
+    # convective phase is trajectory-dependent in this marginally
+    # convective atmosphere (a 1e-9 T0 salt flipped runs between
+    # ~600-it radiative-only convergence and rad->conv handover), and
+    # the steep start pins the trajectory on the convective branch so
+    # conv_iterations_per_s is measured every run.
+    p = np.asarray(arrays.p_lay)
+    T0_base = np.clip(4300.0 * (p / p[0]) ** 0.30, 900.0, None)
+    # index nlayer is the surface/BOA ghost layer (radiative.py:135)
+    T0_base = np.append(T0_base, T0_base[0])
+
     def one_run():
-        T0 = jnp.asarray(_salted(
-            np.linspace(4300.0, 900.0, phys.nlayer + 1)))
+        T0 = jnp.asarray(_salted(T0_base))
         t_start = time.perf_counter()
         s = r.init(T0)
         rad_rate = 0.0
