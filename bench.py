@@ -17,16 +17,16 @@ driver timeout truncates the LEAST important tail, never the headline:
      flagship_run_iterations, plus the per-phase iteration rates
      rce_iterations_per_s_noniso and conv_iterations_per_s
      (computation.py:986-990 prints exactly this end-user total).
-  7. rce_iterations_per_s_on_the_fly -- with RO refresh every 10th it.
-  8. fluxpass_matrix_gridcells_per_s -- exact Thomas/tridiagonal solve.
-  9. beam_zenith_ms -- zenith-geometry-corrected direct beam.
- 10. ensemble_planets_per_hour -- batch of 8 flagship-sized planets as
+  7. ensemble_planets_per_hour -- batch of 4 flagship-sized planets as
      one device program (the capability the reference lacks).
+  8. rce_iterations_per_s_on_the_fly -- with RO refresh every 10th it.
+  9. fluxpass_matrix_gridcells_per_s -- exact Thomas/tridiagonal solve.
+ 10. beam_zenith_ms -- zenith-geometry-corrected direct beam.
  11. sharding_equality_max_rel -- 8-virtual-device CPU-mesh sanity
      (sharded RCE == single device); runs CONCURRENTLY in a CPU
      subprocess from the start, collected last.
 
-A global wall budget (BENCH_BUDGET_S, default 1500 s) guards every
+A global wall budget (BENCH_BUDGET_S, default 1650 s) guards every
 section: when the remaining time cannot cover a section's estimated
 cost it is emitted as {"metric": ..., "skipped": "time_budget"} instead
 of being silently truncated by the driver's timeout.
@@ -1149,9 +1149,9 @@ def main():
             ("rce_iterations_per_s,fluxpass_noniso_gridcells_per_s",
              1100),
             ("flagship", 1200),
+            ("ensemble", 1200),
             ("rce_iterations_per_s_on_the_fly,"
-             "fluxpass_matrix_gridcells_per_s,beam_zenith_ms", 1500),
-            ("ensemble", 1500)]:
+             "fluxpass_matrix_gridcells_per_s,beam_zenith_ms", 1500)]:
         _spawn_section(name, est_cold)
 
     # 12. collect the concurrent CPU sharding check

@@ -98,7 +98,8 @@ def _fmt(metric: str, value: float, unit: str, vs_baseline=None) -> str:
         else:
             s = f"{value:.0f}% of measured peak"
     elif unit == "Gop/s":
-        s = f"{value / 1e3:.2f} Top/s"
+        s = (f"{value / 1e3:.2f} Top/s" if value >= 1e3
+             else f"{value:.1f} Gop/s")
     elif unit == "Gel/s":
         s = f"{value:.0f} G elements/s"
     elif unit == "GB/s":
@@ -162,7 +163,7 @@ def main():
         rows.append("| %s | %s |" % (
             name, _fmt(d["metric"], d["value"], d.get("unit", ""),
                        d.get("vs_baseline"))))
-    label = os.path.basename(src).replace(".json", "").replace(".jsonl", "")
+    label = os.path.basename(src).replace(".jsonl", "").replace(".json", "")
     table = (
         f"Every number below is a `python bench.py` output (the metric name "
         f"is the\nJSON key it prints); values regenerated verbatim from "
